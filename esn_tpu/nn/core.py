@@ -1,0 +1,231 @@
+"""Functional module calculus — the framework core.
+
+A from-scratch, TPU-first replacement for the reference's ``torch.nn.Module``
+layer (reference: every ``model/*.py`` builds on torch modules [R]). Design:
+
+- **Pure functions**: ``init(module, rng, *args)`` builds a variables pytree,
+  ``apply(module, variables, *args)`` runs the forward pass. No hidden state,
+  no tracing magic — everything is explicit pytrees, so ``jax.jit`` /
+  ``pjit`` / ``grad`` compose trivially.
+- **Scopes**: a module receives a :class:`Scope` that addresses its slice of
+  the variables tree by path. Parameters are created on the init pass and
+  read on apply. Mutable collections (BatchNorm running stats) are threaded
+  out functionally via ``mutable=True``.
+- **Deterministic RNG**: per-parameter keys are derived by folding a stable
+  CRC32 hash of the scope path into the root key, so init is reproducible
+  across processes (Python's ``hash`` is salted and never used).
+
+Variables layout (nested dicts mirroring the module tree)::
+
+    {"params": {...}, "stats": {...}}
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+def _path_hash(path: Tuple[str, ...]) -> int:
+    return zlib.crc32("/".join(path).encode("utf-8")) & 0x7FFFFFFF
+
+
+class _Root:
+    """Shared per-call state for one init/apply traversal."""
+
+    __slots__ = ("params", "stats", "is_init", "rngs", "train", "mutable",
+                 "stat_updates", "_rng_counts")
+
+    def __init__(self, *, params, stats, is_init, rngs, train, mutable):
+        self.params = params
+        self.stats = stats
+        self.is_init = is_init
+        self.rngs = rngs or {}
+        self.train = train
+        self.mutable = mutable
+        self.stat_updates: Dict[Tuple[str, ...], Dict[str, jnp.ndarray]] = {}
+        self._rng_counts: Dict[Tuple[str, ...], int] = {}
+
+
+def _get_nested(tree: Dict, path: Tuple[str, ...], create: bool) -> Dict:
+    node = tree
+    for name in path:
+        if name not in node:
+            if not create:
+                raise KeyError(
+                    f"missing collection entry {'/'.join(path)!r}; "
+                    "was apply() called with variables from a different model?")
+            node[name] = {}
+        node = node[name]
+    return node
+
+
+class Scope:
+    """Addresses one module's slice of the variables tree."""
+
+    __slots__ = ("root", "path")
+
+    def __init__(self, root: _Root, path: Tuple[str, ...] = ()):
+        self.root = root
+        self.path = path
+
+    # -- tree navigation ----------------------------------------------------
+    def child(self, name: str) -> "Scope":
+        return Scope(self.root, self.path + (str(name),))
+
+    def __call__(self, name: str, module: "Module", *args, **kwargs):
+        """Run ``module`` in a child scope — the submodule-call idiom."""
+        return module(self.child(name), *args, **kwargs)
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def train(self) -> bool:
+        return self.root.train
+
+    @property
+    def is_init(self) -> bool:
+        return self.root.is_init
+
+    # -- rng ----------------------------------------------------------------
+    def make_rng(self, kind: str = "params") -> jax.Array:
+        if kind not in self.root.rngs:
+            raise ValueError(
+                f"rng stream {kind!r} was not provided "
+                f"(module path {'/'.join(self.path)!r}). Pass rngs={{'{kind}': key}}.")
+        count = self.root._rng_counts.get(self.path + (kind,), 0)
+        self.root._rng_counts[self.path + (kind,)] = count + 1
+        key = jax.random.fold_in(self.root.rngs[kind], _path_hash(self.path))
+        return jax.random.fold_in(key, count)
+
+    # -- parameters ---------------------------------------------------------
+    def param(self, name: str, init_fn: Callable[..., jnp.ndarray],
+              shape: Sequence[int], dtype=jnp.float32) -> jnp.ndarray:
+        d = _get_nested(self.root.params, self.path, create=self.root.is_init)
+        if self.root.is_init and name not in d:
+            d[name] = init_fn(self.make_rng("params"), shape, dtype)
+        if name not in d:
+            raise KeyError(f"missing param {'/'.join(self.path)}/{name}")
+        return d[name]
+
+    # -- mutable state (running stats) --------------------------------------
+    def stat(self, name: str, init_fn: Callable[..., jnp.ndarray],
+             shape: Sequence[int], dtype=jnp.float32) -> jnp.ndarray:
+        d = _get_nested(self.root.stats, self.path, create=self.root.is_init)
+        if self.root.is_init and name not in d:
+            d[name] = init_fn(None, shape, dtype)
+        if name not in d:
+            raise KeyError(f"missing stat {'/'.join(self.path)}/{name}")
+        # a pending update from this very traversal wins (rare, but coherent)
+        upd = self.root.stat_updates.get(self.path)
+        if upd and name in upd:
+            return upd[name]
+        return d[name]
+
+    def put_stat(self, name: str, value: jnp.ndarray) -> None:
+        if not (self.root.mutable or self.root.is_init):
+            return  # silently drop updates on immutable apply (eval mode)
+        if self.root.is_init:
+            d = _get_nested(self.root.stats, self.path, create=True)
+            d[name] = value
+            return
+        self.root.stat_updates.setdefault(self.path, {})[name] = value
+
+
+class Module:
+    """Base class: subclasses implement ``__call__(self, scope, *args)``.
+
+    Modules are plain hyperparameter containers — all array state lives in
+    the variables pytree, never on the module object.
+    """
+
+    def __call__(self, scope: Scope, *args, **kwargs):  # pragma: no cover
+        raise NotImplementedError
+
+    # Convenience wrappers ---------------------------------------------------
+    def init(self, rng, *args, train: bool = False, rngs: Optional[Dict] = None,
+             **kwargs) -> Dict[str, PyTree]:
+        return init(self, rng, *args, train=train, rngs=rngs, **kwargs)
+
+    def apply(self, variables, *args, **kwargs):
+        return apply(self, variables, *args, **kwargs)
+
+
+def init(module: Module, rng: jax.Array, *args, train: bool = False,
+         rngs: Optional[Dict[str, jax.Array]] = None, **kwargs) -> Dict[str, PyTree]:
+    """Build the variables pytree by running the module on example inputs."""
+    streams = {"params": rng, "dropout": rng}
+    if rngs:
+        streams.update(rngs)
+    root = _Root(params={}, stats={}, is_init=True, rngs=streams,
+                 train=train, mutable=True)
+    module(Scope(root), *args, **kwargs)
+    return {"params": root.params, "stats": root.stats}
+
+
+def _merge_updates(stats: PyTree, updates: Dict[Tuple[str, ...], Dict[str, jnp.ndarray]]):
+    if not updates:
+        return stats
+    new_stats = jax.tree_util.tree_map(lambda x: x, stats)  # shallow-ish copy
+
+    def copy_path(tree, path):
+        node = tree
+        for name in path:
+            node[name] = dict(node[name])
+            node = node[name]
+        return node
+
+    new_stats = dict(new_stats)
+    for path, upd in updates.items():
+        node = new_stats
+        for name in path:
+            node[name] = dict(node.get(name, {}))
+            node = node[name]
+        node.update(upd)
+    return new_stats
+
+
+def apply(module: Module, variables: Dict[str, PyTree], *args,
+          train: bool = False, mutable: bool = False,
+          rngs: Optional[Dict[str, jax.Array]] = None, **kwargs):
+    """Run the forward pass.
+
+    Returns ``y`` or, when ``mutable=True``, ``(y, new_variables)`` where
+    ``new_variables["stats"]`` carries updated running statistics.
+    """
+    root = _Root(params=variables.get("params", {}),
+                 stats=variables.get("stats", {}),
+                 is_init=False, rngs=rngs, train=train, mutable=mutable)
+    y = module(Scope(root), *args, **kwargs)
+    if mutable:
+        new_vars = {"params": variables.get("params", {}),
+                    "stats": _merge_updates(variables.get("stats", {}),
+                                            root.stat_updates)}
+        return y, new_vars
+    return y
+
+
+class Sequential(Module):
+    """Run child modules in order; children are named "0", "1", ..."""
+
+    def __init__(self, *layers: Module):
+        self.layers = [l for l in layers if l is not None]
+
+    def __call__(self, scope: Scope, x, **kwargs):
+        for i, layer in enumerate(self.layers):
+            x = layer(scope.child(str(i)), x, **kwargs)
+        return x
+
+
+class Fn(Module):
+    """Wrap a stateless function as a module."""
+
+    def __init__(self, fn: Callable, **fixed_kwargs):
+        self.fn = fn
+        self.fixed_kwargs = fixed_kwargs
+
+    def __call__(self, scope: Scope, *args, **kwargs):
+        return self.fn(*args, **{**self.fixed_kwargs, **kwargs})

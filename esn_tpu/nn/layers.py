@@ -1,0 +1,188 @@
+"""Core layer modules (the torch.nn surface the reference zoo builds on).
+
+Reference counterparts: ``nn.Conv2d / ConvTranspose2d / BatchNorm2d / PReLU /
+Dropout2d / Linear`` used throughout ``model/*.py`` [R]. All NHWC.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from . import initializers as init
+from .core import Module, Scope
+from ..ops import convolution as C
+
+IntOr2 = Union[int, Tuple[int, int]]
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
+
+
+class Conv(Module):
+    """2D convolution, NHWC/HWIO. Kaiming fan-out init (reference init_weight)."""
+
+    def __init__(self, in_ch: int, out_ch: int, kernel: IntOr2, *,
+                 stride: IntOr2 = 1, padding: IntOr2 = 0, dilation: IntOr2 = 1,
+                 groups: int = 1, bias: bool = True,
+                 kernel_init=None):
+        assert in_ch % groups == 0 and out_ch % groups == 0
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.kernel = _pair(kernel)
+        self.stride, self.padding, self.dilation = stride, padding, dilation
+        self.groups = groups
+        self.use_bias = bias
+        self.kernel_init = kernel_init or init.kaiming_normal("fan_out")
+
+    def __call__(self, scope: Scope, x):
+        kh, kw = self.kernel
+        w = scope.param("kernel", self.kernel_init,
+                        (kh, kw, self.in_ch // self.groups, self.out_ch))
+        b = None
+        if self.use_bias:
+            fan_in = kh * kw * self.in_ch // self.groups
+            b = scope.param("bias", init.bias_for_fan_in(fan_in), (self.out_ch,))
+        return C.conv2d(x, w, stride=self.stride, padding=self.padding,
+                        dilation=self.dilation, groups=self.groups, bias=b)
+
+
+class ConvTranspose(Module):
+    """Transposed 2D convolution with torch shape semantics."""
+
+    def __init__(self, in_ch: int, out_ch: int, kernel: IntOr2, *,
+                 stride: IntOr2 = 1, padding: IntOr2 = 0,
+                 output_padding: IntOr2 = 0, bias: bool = True,
+                 kernel_init=None):
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.kernel = _pair(kernel)
+        self.stride, self.padding, self.output_padding = stride, padding, output_padding
+        self.use_bias = bias
+        self.kernel_init = kernel_init or init.kaiming_normal("fan_out")
+
+    def __call__(self, scope: Scope, x):
+        kh, kw = self.kernel
+        w = scope.param("kernel", self.kernel_init,
+                        (kh, kw, self.in_ch, self.out_ch))
+        b = None
+        if self.use_bias:
+            fan_in = kh * kw * self.in_ch
+            b = scope.param("bias", init.bias_for_fan_in(fan_in), (self.out_ch,))
+        return C.conv2d_transpose(x, w, stride=self.stride, padding=self.padding,
+                                  output_padding=self.output_padding, bias=b)
+
+
+class BatchNorm(Module):
+    """BatchNorm2d over NHWC with functional running stats.
+
+    Batch statistics are taken over the *global* batch: under pjit with the
+    batch sharded on the mesh's data axis, the ``jnp.mean`` below compiles to
+    a cross-replica reduction — sync-BN for free (the reference's
+    DataParallel BN is per-GPU, strictly weaker).
+
+    Stats always accumulate in fp32 regardless of compute dtype.
+    """
+
+    def __init__(self, num_features: int, *, momentum: float = 0.1,
+                 eps: float = 1e-5, affine: bool = True):
+        self.num_features = num_features
+        self.momentum = momentum
+        self.eps = eps
+        self.affine = affine
+
+    def __call__(self, scope: Scope, x):
+        c = self.num_features
+        assert x.shape[-1] == c, f"BatchNorm expected {c} channels, got {x.shape}"
+        run_mean = scope.stat("mean", init.zeros, (c,))
+        run_var = scope.stat("var", init.ones, (c,))
+        if scope.train and not scope.is_init:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            scope.put_stat("mean", (1 - m) * run_mean + m * mean)
+            scope.put_stat("var", (1 - m) * run_var + m * unbiased)
+        else:
+            mean, var = run_mean, run_var
+        scale = jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            gamma = scope.param("scale", init.ones, (c,))
+            beta = scope.param("bias", init.zeros, (c,))
+            scale = scale * gamma
+            offset = beta - mean * scale
+        else:
+            offset = -mean * scale
+        return (x * scale.astype(x.dtype) + offset.astype(x.dtype))
+
+
+class PReLU(Module):
+    """PReLU with 1 (torch default) or per-channel slopes, init 0.25."""
+
+    def __init__(self, num_parameters: int = 1, init_value: float = 0.25):
+        self.num_parameters = num_parameters
+        self.init_value = init_value
+
+    def __call__(self, scope: Scope, x):
+        a = scope.param("alpha", init.constant(self.init_value),
+                        (self.num_parameters,))
+        a = a.astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+
+
+class Dropout(Module):
+    def __init__(self, rate: float):
+        self.rate = float(rate)
+
+    def __call__(self, scope: Scope, x):
+        if not scope.train or self.rate <= 0.0 or scope.is_init:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(scope.make_rng("dropout"), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class SpatialDropout(Module):
+    """Dropout2d: drops whole channel feature maps (reference: ENet)."""
+
+    def __init__(self, rate: float):
+        self.rate = float(rate)
+
+    def __call__(self, scope: Scope, x):
+        if not scope.train or self.rate <= 0.0 or scope.is_init:
+            return x
+        keep = 1.0 - self.rate
+        n, _, _, c = x.shape
+        mask = jax.random.bernoulli(scope.make_rng("dropout"), keep, (n, 1, 1, c))
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Dense(Module):
+    def __init__(self, in_features: int, out_features: int, bias: bool = True):
+        self.in_features, self.out_features = in_features, out_features
+        self.use_bias = bias
+
+    def __call__(self, scope: Scope, x):
+        w = scope.param("kernel", init.torch_conv_default,
+                        (self.in_features, self.out_features))
+        w2 = w.astype(x.dtype)
+        y = jnp.dot(x, w2, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            b = scope.param("bias", init.bias_for_fan_in(self.in_features),
+                            (self.out_features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def relu6(x):
+    return jnp.clip(x, 0, 6)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)

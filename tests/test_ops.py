@@ -1,0 +1,85 @@
+"""Pooling / unpooling / resize op tests (torch as independent oracle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esn_tpu import ops
+
+
+def test_max_pool_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(2, 5, 12, 14).astype(np.float32)
+    ref = torch.nn.functional.max_pool2d(torch.from_numpy(x), 2, 2).numpy()
+    y = ops.max_pool2d(jnp.asarray(x.transpose(0, 2, 3, 1)), 2, 2)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref)
+
+
+def test_max_pool_indices_unpool_roundtrip_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(2, 3, 16, 20).astype(np.float32)
+    xt = torch.from_numpy(x)
+    vals_t, idx_t = torch.nn.functional.max_pool2d(xt, 2, 2, return_indices=True)
+    unpooled_t = torch.nn.functional.max_unpool2d(vals_t, idx_t, 2, 2).numpy()
+
+    xn = jnp.asarray(x.transpose(0, 2, 3, 1))
+    vals, idx = ops.max_pool2d_with_indices_2x2(xn)
+    np.testing.assert_allclose(np.asarray(vals).transpose(0, 3, 1, 2),
+                               vals_t.numpy())
+    out = ops.max_unpool2d_2x2(vals, idx)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               unpooled_t)
+
+
+def test_max_unpool_output_size_pad():
+    x = jnp.arange(2 * 10 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 10, 3)
+    vals, idx = ops.max_pool2d_with_indices_2x2(x)
+    out = ops.max_unpool2d_2x2(vals, idx, output_size=(11, 11))
+    assert out.shape == (2, 11, 11, 3)
+    assert float(jnp.sum(jnp.abs(out[:, 10, :, :]))) == 0.0
+
+
+def test_unpool_grad_flows():
+    x = jnp.ones((1, 4, 4, 2))
+
+    def f(x):
+        v, i = ops.max_pool2d_with_indices_2x2(x)
+        return jnp.sum(ops.max_unpool2d_2x2(v * 2.0, i))
+
+    g = jax.grad(f)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # one position per 2x2 window gets gradient 2: 2x2 windows x 2 channels
+    assert float(jnp.sum(g)) == pytest.approx(2.0 * 2 * 2 * 2)
+
+
+def test_avg_pool_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(1, 4, 9, 9).astype(np.float32)
+    for (k, s, p) in [(3, 2, 1), (2, 2, 0), (3, 1, 1)]:
+        ref = torch.nn.functional.avg_pool2d(torch.from_numpy(x), k, s, p).numpy()
+        y = ops.avg_pool2d(jnp.asarray(x.transpose(0, 2, 3, 1)), k, s, p)
+        np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(2, 5, 13, 17).astype(np.float32)
+    for out_size in [1, 2, 3, 6]:
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x), out_size).numpy()
+        y = ops.adaptive_avg_pool2d(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                    out_size)
+        np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_resize_bilinear_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(2, 4, 8, 12).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(17, 33), mode="bilinear",
+        align_corners=False).numpy()
+    y = ops.resize_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), (17, 33))
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)
