@@ -1,0 +1,180 @@
+"""Segmentation loss zoo — jit-safe, static-shape formulations.
+
+Reference: ``utils/loss.py`` [R] — CrossEntropyLoss2d (class-weighted NLL),
+CrossEntropyLoss2dLabelSmooth (eps=0.1), ProbOhemCrossEntropy2d (thresh=0.7,
+min_kept=B*H*W/16), FocalLoss2d (gamma=2), LovaszSoftmax.
+
+TPU-native departures from the reference:
+- OHEM's dynamic "keep the hardest pixels" is reformulated with a static
+  ``lax.top_k`` threshold so the whole loss stays inside one jitted graph
+  (the reference sorts on device but with dynamic shapes, fine for eager
+  CUDA, impossible under XLA).
+- Lovász's "flatten and drop ignored pixels" is replaced by masked sorting:
+  ignored pixels get error 0 / fg 0 and sort to the tail where they
+  contribute nothing to the dot product, so shapes stay static.
+
+All functions take NHWC logits, (N, H, W) int labels and reduce in fp32.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _valid_mask(labels: jnp.ndarray, num_classes: int,
+                ignore_index: int) -> jnp.ndarray:
+    return (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
+
+
+def _safe_labels(labels, num_classes, valid):
+    return jnp.where(valid, labels, 0).astype(jnp.int32)
+
+
+def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
+                  ignore_index: int, label_smoothing: float = 0.0):
+    """Returns (ce, weight-lookup labels, valid mask); ce is fp32 per pixel."""
+    logits = logits.astype(jnp.float32)
+    valid = _valid_mask(labels, num_classes, ignore_index)
+    safe = _safe_labels(labels, num_classes, valid)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        eps = label_smoothing
+        # (1-eps)*nll_true + eps * mean over classes of nll_c
+        nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
+    return nll, safe, valid
+
+
+def cross_entropy(logits, labels, *, num_classes: int,
+                  class_weights: Optional[jnp.ndarray] = None,
+                  ignore_index: int = 255,
+                  label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Class-weighted CE with ignore_index, torch reduction semantics:
+    ``sum(w[y_i] * ce_i) / sum(w[y_i])`` over valid pixels."""
+    nll, safe, valid = _per_pixel_ce(logits, labels, num_classes,
+                                     ignore_index, label_smoothing)
+    if class_weights is not None:
+        w = class_weights.astype(jnp.float32)[safe]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * valid.astype(jnp.float32)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def ohem_cross_entropy(logits, labels, *, num_classes: int,
+                       class_weights: Optional[jnp.ndarray] = None,
+                       ignore_index: int = 255, thresh: float = 0.7,
+                       min_kept: Optional[int] = None) -> jnp.ndarray:
+    """Online hard example mining CE (reference ProbOhemCrossEntropy2d [R]).
+
+    Keeps pixels whose true-class probability is below a threshold; the
+    threshold is raised to the ``min_kept``-th hardest pixel's probability so
+    at least ``min_kept`` pixels always survive. Static shapes: the kept set
+    is a mask, never a gather.
+    """
+    n, h, w_, _ = logits.shape
+    total = n * h * w_
+    if min_kept is None:
+        min_kept = max(total // 16, 1)
+    min_kept = int(min(min_kept, total))
+
+    nll, safe, valid = _per_pixel_ce(logits, labels, num_classes, ignore_index)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    p_true = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    # invalid pixels can never be "hard": give them prob 2.0 (> any real prob)
+    p_true = jnp.where(valid, p_true, 2.0).reshape(-1)
+
+    # threshold = max(thresh, prob of the min_kept-th hardest pixel)
+    kth = -jax.lax.top_k(-p_true, min_kept)[0][-1]
+    threshold = jnp.maximum(kth, thresh)
+    kept = (p_true <= threshold) & valid.reshape(-1)
+
+    nll = nll.reshape(-1)
+    if class_weights is not None:
+        w = class_weights.astype(jnp.float32)[safe.reshape(-1)]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * kept.astype(jnp.float32)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def focal_loss(logits, labels, *, num_classes: int,
+               class_weights: Optional[jnp.ndarray] = None,
+               ignore_index: int = 255, gamma: float = 2.0) -> jnp.ndarray:
+    """Focal loss (reference FocalLoss2d, gamma=2 [R])."""
+    nll, safe, valid = _per_pixel_ce(logits, labels, num_classes, ignore_index)
+    p_true = jnp.exp(-nll)
+    focal = jnp.power(1.0 - p_true, gamma) * nll
+    if class_weights is not None:
+        w = class_weights.astype(jnp.float32)[safe]
+    else:
+        w = jnp.ones_like(focal)
+    w = w * valid.astype(jnp.float32)
+    return jnp.sum(w * focal) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovász extension w.r.t. sorted errors (1D, fp32)."""
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / jnp.maximum(union, 1e-8)
+    # difference trick: grad[0] = jaccard[0], grad[i] = jaccard[i]-jaccard[i-1]
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_softmax(logits, labels, *, num_classes: int,
+                   ignore_index: int = 255,
+                   class_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Multi-class Lovász-Softmax over present classes (reference
+    LovaszSoftmax [R], per_image=False, classes='present').
+
+    ``class_weights`` is accepted for API symmetry but unused (the Lovász
+    extension is inherently class-balanced).
+    """
+    del class_weights
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.reshape(-1, num_classes)
+    labels_f = labels.reshape(-1)
+    valid = _valid_mask(labels_f, num_classes, ignore_index)
+    safe = _safe_labels(labels_f, num_classes, valid)
+    validf = valid.astype(jnp.float32)
+
+    def class_loss(c):
+        fg = (safe == c).astype(jnp.float32) * validf
+        errors = jnp.abs(fg - probs[:, c]) * validf  # ignored -> 0, sorts last
+        # descending sort of errors, carrying fg along
+        neg_err, fg_sorted = jax.lax.sort((-errors, fg), num_keys=1)
+        errors_sorted = -neg_err
+        grad = _lovasz_grad(fg_sorted)
+        loss_c = jnp.dot(errors_sorted, grad)
+        present = jnp.sum(fg) > 0
+        return loss_c, present
+
+    losses, presents = jax.vmap(class_loss)(jnp.arange(num_classes))
+    presents = presents.astype(jnp.float32)
+    return jnp.sum(losses * presents) / jnp.maximum(jnp.sum(presents), 1e-8)
+
+
+LOSS_REGISTRY = {
+    "ce": cross_entropy,
+    "label_smoothing": partial(cross_entropy, label_smoothing=0.1),
+    "ohem": ohem_cross_entropy,
+    "focal": focal_loss,
+    "lovasz": lovasz_softmax,
+}
+
+
+def build_loss(name: str, **defaults):
+    """Factory mirroring the reference's train.py loss selection [R]:
+    flags --use_ohem / --use_label_smoothing / --use_lovaszsoftmax /
+    --use_focal select the criterion; default is weighted CE."""
+    if name not in LOSS_REGISTRY:
+        raise KeyError(f"unknown loss {name!r}; options: {sorted(LOSS_REGISTRY)}")
+    fn = LOSS_REGISTRY[name]
+    if defaults:
+        fn = partial(fn, **defaults)
+    return fn

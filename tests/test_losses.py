@@ -1,0 +1,134 @@
+"""Loss zoo tests — torch CE as independent oracle, hand-math for the rest."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esn_tpu.train import losses
+
+
+def _rand_problem(rng, n=2, h=6, w=7, c=5, ignore=255, ignore_frac=0.2):
+    logits = rng.randn(n, h, w, c).astype(np.float32)
+    labels = rng.randint(0, c, size=(n, h, w)).astype(np.int64)
+    mask = rng.rand(n, h, w) < ignore_frac
+    labels[mask] = ignore
+    weights = rng.rand(c).astype(np.float32) + 0.5
+    return logits, labels, weights
+
+
+def test_weighted_ce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    logits, labels, weights = _rand_problem(rng)
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(labels),
+        weight=torch.from_numpy(weights), ignore_index=255).item()
+    got = losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                               num_classes=5,
+                               class_weights=jnp.asarray(weights),
+                               ignore_index=255)
+    assert float(got) == pytest.approx(ref, rel=1e-5)
+
+
+def test_label_smoothing_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    logits, labels, _ = _rand_problem(rng, ignore_frac=0.0)
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(labels), label_smoothing=0.1).item()
+    got = losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                               num_classes=5, ignore_index=255,
+                               label_smoothing=0.1)
+    assert float(got) == pytest.approx(ref, rel=1e-5)
+
+
+def test_ohem_reduces_to_hard_pixels(rng):
+    # construct: half the pixels trivially correct (huge margin), half hard
+    c = 4
+    logits = np.zeros((1, 4, 4, c), np.float32)
+    labels = np.zeros((1, 4, 4), np.int64)
+    logits[0, :2, :, 0] = 50.0        # easy: prob ~1 for true class 0
+    logits[0, 2:, :, 1] = 5.0         # hard: true class 0, predicted 1
+    loss = losses.ohem_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), num_classes=c,
+        ignore_index=255, thresh=0.7, min_kept=1)
+    # only the 8 hard pixels should be kept -> loss ~= CE of hard pixels
+    hard_ce = -np.log(np.exp(0.0) / (np.exp(5.0) + (c - 1)))
+    assert float(loss) == pytest.approx(hard_ce, rel=1e-3)
+
+
+def test_ohem_min_kept_floor(rng):
+    # all pixels easy -> min_kept forces the k hardest to be kept, loss finite
+    logits, labels, w = _rand_problem(rng, ignore_frac=0.0)
+    logits = logits + 100.0 * np.eye(5, dtype=np.float32)[labels]
+    loss = losses.ohem_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), num_classes=5,
+        class_weights=jnp.asarray(w), min_kept=7)
+    assert np.isfinite(float(loss))
+    assert float(loss) < 1e-3  # easy pixels -> tiny loss
+
+
+def test_focal_gamma0_equals_ce(rng):
+    logits, labels, weights = _rand_problem(rng)
+    ce = losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                              num_classes=5, class_weights=jnp.asarray(weights))
+    fl = losses.focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                           num_classes=5, class_weights=jnp.asarray(weights),
+                           gamma=0.0)
+    assert float(fl) == pytest.approx(float(ce), rel=1e-5)
+
+
+def test_lovasz_perfect_prediction_near_zero(rng):
+    labels = rng.randint(0, 4, size=(1, 8, 8)).astype(np.int64)
+    logits = 80.0 * np.eye(4, dtype=np.float32)[labels]
+    loss = losses.lovasz_softmax(jnp.asarray(logits), jnp.asarray(labels),
+                                 num_classes=4)
+    assert float(loss) < 1e-4
+
+
+def test_lovasz_matches_naive_numpy(rng):
+    """Oracle: direct numpy transcription of the Lovász-Softmax definition."""
+    c = 3
+    logits, labels, _ = _rand_problem(rng, n=1, h=5, w=5, c=c, ignore_frac=0.2)
+
+    def naive(logits, labels, ignore=255):
+        p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        p = p.reshape(-1, c)
+        y = labels.reshape(-1)
+        keep = y != ignore
+        p, y = p[keep], y[keep]
+        total, count = 0.0, 0
+        for cls in range(c):
+            fg = (y == cls).astype(np.float64)
+            if fg.sum() == 0:
+                continue
+            err = np.abs(fg - p[:, cls])
+            order = np.argsort(-err, kind="stable")
+            es, fs = err[order], fg[order]
+            gts = fs.sum()
+            inter = gts - np.cumsum(fs)
+            union = gts + np.cumsum(1 - fs)
+            jac = 1.0 - inter / union
+            jac[1:] = jac[1:] - jac[:-1]
+            total += float(np.dot(es, jac))
+            count += 1
+        return total / max(count, 1)
+
+    ref = naive(logits, labels)
+    got = losses.lovasz_softmax(jnp.asarray(logits), jnp.asarray(labels),
+                                num_classes=c)
+    assert float(got) == pytest.approx(ref, rel=1e-4, abs=1e-5)
+
+
+def test_all_losses_jit_and_grad(rng):
+    logits, labels, weights = _rand_problem(rng)
+    for name in losses.LOSS_REGISTRY:
+        fn = losses.build_loss(name, num_classes=5, ignore_index=255)
+
+        @jax.jit
+        def f(lg):
+            return fn(lg, jnp.asarray(labels),
+                      class_weights=jnp.asarray(weights))
+
+        g = jax.grad(f)(jnp.asarray(logits))
+        assert np.all(np.isfinite(np.asarray(g))), name
