@@ -1,0 +1,194 @@
+"""ENet (Paszke et al., arXiv 1606.02147) — TPU-native NHWC implementation.
+
+Reference counterpart: ``model/ENet.py`` [R] (InitialBlock, RegularBottleneck,
+DownsamplingBottleneck, UpsamplingBottleneck). Re-designed here around the
+framework's scatter-free index pool/unpool pair (esn_tpu/ops/pooling.py): the
+encoder's max-pool positions flow to the decoder as explicit values — a
+side-channel the functional form makes first-class instead of hidden module
+state.
+
+Architecture (paper Table 1):
+- initial: 3x3/s2 conv (13ch) || 2x2 maxpool (3ch) -> concat 16ch
+- stage1: downsample 16->64 + 4 regular bottlenecks (dropout 0.01)
+- stage2: downsample 64->128 + [x, dil2, asym5, dil4, x, dil8, asym5, dil16]
+- stage3: the stage2 mix again, no downsample (dropout 0.1)
+- stage4: upsample 128->64 (max-unpool skip) + 2 regular, ReLU decoder
+- stage5: upsample 64->16 + 1 regular
+- fullconv: 3x3/s2 transposed conv -> classes, output at input resolution
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import pooling as P
+
+
+def _act(relu: bool, ch: int) -> nn.Module:
+    return nn.Fn(nn.relu) if relu else nn.PReLU(ch)
+
+
+class InitialBlock(nn.Module):
+    def __init__(self, in_ch: int = 3, out_ch: int = 16):
+        self.conv = nn.Conv(in_ch, out_ch - in_ch, 3, stride=2, padding=1,
+                            bias=False)
+        self.bn = nn.BatchNorm(out_ch)
+        self.act = nn.PReLU(out_ch)
+
+    def __call__(self, scope, x):
+        main = scope("conv", self.conv, x)
+        pooled = P.max_pool2d(x, 2, 2)
+        y = jnp.concatenate([main, pooled], axis=-1)
+        y = scope("bn", self.bn, y)
+        return scope("act", self.act, y)
+
+
+class RegularBottleneck(nn.Module):
+    """Residual bottleneck: 1x1 reduce -> core conv -> 1x1 expand.
+
+    ``dilation`` > 1 selects the dilated variant; ``asymmetric`` selects the
+    5x1 + 1x5 factorized core [R: RegularBottleneck with kernel_size=5].
+    """
+
+    def __init__(self, ch: int, *, internal_ratio: int = 4, dilation: int = 1,
+                 asymmetric: bool = False, dropout: float = 0.1,
+                 relu: bool = False):
+        mid = ch // internal_ratio
+        self.reduce = nn.Sequential(nn.Conv(ch, mid, 1, bias=False),
+                                    nn.BatchNorm(mid), _act(relu, mid))
+        if asymmetric:
+            self.core = nn.Sequential(
+                nn.Conv(mid, mid, (5, 1), padding=(2, 0), bias=False),
+                nn.Conv(mid, mid, (1, 5), padding=(0, 2), bias=False),
+                nn.BatchNorm(mid), _act(relu, mid))
+        else:
+            self.core = nn.Sequential(
+                nn.Conv(mid, mid, 3, padding=dilation, dilation=dilation,
+                        bias=False),
+                nn.BatchNorm(mid), _act(relu, mid))
+        self.expand = nn.Sequential(nn.Conv(mid, ch, 1, bias=False),
+                                    nn.BatchNorm(ch))
+        self.drop = nn.SpatialDropout(dropout)
+        self.out_act = _act(relu, ch)
+
+    def __call__(self, scope, x):
+        y = scope("reduce", self.reduce, x)
+        y = scope("core", self.core, y)
+        y = scope("expand", self.expand, y)
+        y = scope("drop", self.drop, y)
+        return scope("out_act", self.out_act, x + y)
+
+
+class DownsamplingBottleneck(nn.Module):
+    """Strided bottleneck; skip = indexed 2x2 maxpool + channel zero-pad."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, internal_ratio: int = 4,
+                 dropout: float = 0.1, relu: bool = False):
+        mid = in_ch // internal_ratio
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.reduce = nn.Sequential(
+            nn.Conv(in_ch, mid, 2, stride=2, bias=False),
+            nn.BatchNorm(mid), _act(relu, mid))
+        self.core = nn.Sequential(
+            nn.Conv(mid, mid, 3, padding=1, bias=False),
+            nn.BatchNorm(mid), _act(relu, mid))
+        self.expand = nn.Sequential(nn.Conv(mid, out_ch, 1, bias=False),
+                                    nn.BatchNorm(out_ch))
+        self.drop = nn.SpatialDropout(dropout)
+        self.out_act = _act(relu, out_ch)
+
+    def __call__(self, scope, x):
+        main = scope("reduce", self.reduce, x)
+        main = scope("core", self.core, main)
+        main = scope("expand", self.expand, main)
+        main = scope("drop", self.drop, main)
+        skip, indices = P.max_pool2d_with_indices_2x2(x)
+        pad = self.out_ch - self.in_ch
+        if pad > 0:
+            skip = jnp.pad(skip, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        out = scope("out_act", self.out_act, main + skip)
+        return out, indices
+
+
+class UpsamplingBottleneck(nn.Module):
+    """Transposed-conv bottleneck; skip = 1x1 conv + max-unpool(indices)."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, internal_ratio: int = 4,
+                 dropout: float = 0.1, relu: bool = True):
+        mid = in_ch // internal_ratio
+        self.skip_conv = nn.Sequential(nn.Conv(in_ch, out_ch, 1, bias=False),
+                                       nn.BatchNorm(out_ch))
+        self.reduce = nn.Sequential(nn.Conv(in_ch, mid, 1, bias=False),
+                                    nn.BatchNorm(mid), _act(relu, mid))
+        self.up = nn.Sequential(
+            nn.ConvTranspose(mid, mid, 3, stride=2, padding=1,
+                             output_padding=1, bias=False),
+            nn.BatchNorm(mid), _act(relu, mid))
+        self.expand = nn.Sequential(nn.Conv(mid, out_ch, 1, bias=False),
+                                    nn.BatchNorm(out_ch))
+        self.drop = nn.SpatialDropout(dropout)
+        self.out_act = _act(relu, out_ch)
+
+    def __call__(self, scope, x, indices):
+        skip = scope("skip_conv", self.skip_conv, x)
+        skip = P.max_unpool2d_2x2(skip, indices)
+        main = scope("reduce", self.reduce, x)
+        main = scope("up", self.up, main)
+        main = scope("expand", self.expand, main)
+        main = scope("drop", self.drop, main)
+        return scope("out_act", self.out_act, main + skip)
+
+
+class ENet(nn.Module):
+    """Input NHWC float (H, W multiples of 8); output NHWC logits."""
+
+    def __init__(self, classes: int = 19, in_ch: int = 3,
+                 encoder_relu: bool = False, decoder_relu: bool = True):
+        self.classes = classes
+        self.initial = InitialBlock(in_ch, 16)
+
+        self.down1 = DownsamplingBottleneck(16, 64, dropout=0.01,
+                                            relu=encoder_relu)
+        self.stage1 = nn.Sequential(*[
+            RegularBottleneck(64, dropout=0.01, relu=encoder_relu)
+            for _ in range(4)])
+
+        self.down2 = DownsamplingBottleneck(64, 128, dropout=0.1,
+                                            relu=encoder_relu)
+
+        def _mix(relu):
+            return nn.Sequential(
+                RegularBottleneck(128, relu=relu),
+                RegularBottleneck(128, dilation=2, relu=relu),
+                RegularBottleneck(128, asymmetric=True, relu=relu),
+                RegularBottleneck(128, dilation=4, relu=relu),
+                RegularBottleneck(128, relu=relu),
+                RegularBottleneck(128, dilation=8, relu=relu),
+                RegularBottleneck(128, asymmetric=True, relu=relu),
+                RegularBottleneck(128, dilation=16, relu=relu),
+            )
+
+        self.stage2 = _mix(encoder_relu)
+        self.stage3 = _mix(encoder_relu)
+
+        self.up4 = UpsamplingBottleneck(128, 64, relu=decoder_relu)
+        self.stage4 = nn.Sequential(
+            RegularBottleneck(64, relu=decoder_relu),
+            RegularBottleneck(64, relu=decoder_relu))
+        self.up5 = UpsamplingBottleneck(64, 16, relu=decoder_relu)
+        self.stage5 = RegularBottleneck(16, relu=decoder_relu)
+        self.fullconv = nn.ConvTranspose(16, classes, 3, stride=2, padding=1,
+                                         output_padding=1, bias=False)
+
+    def __call__(self, scope, x):
+        y = scope("initial", self.initial, x)
+        y, idx1 = scope("down1", self.down1, y)
+        y = scope("stage1", self.stage1, y)
+        y, idx2 = scope("down2", self.down2, y)
+        y = scope("stage2", self.stage2, y)
+        y = scope("stage3", self.stage3, y)
+        y = scope("up4", self.up4, y, idx2)
+        y = scope("stage4", self.stage4, y)
+        y = scope("up5", self.up5, y, idx1)
+        y = scope("stage5", self.stage5, y)
+        return scope("fullconv", self.fullconv, y)

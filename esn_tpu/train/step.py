@@ -1,0 +1,146 @@
+"""Jitted train/eval steps shared by the whole zoo.
+
+The reference's hot loop is eager per-op Python dispatch
+[R: train.py :: train()]. Here one XLA program does
+forward + backward + optimizer + BN-stat update + metrics; the TrainState is
+donated so parameters update in place in HBM. Under a mesh, the batch arrives
+sharded on the 'data' axis and XLA's global-view autodiff inserts the psum
+for gradients — data parallelism with zero framework code in the step.
+
+Mixed precision: compute in ``compute_dtype`` (bf16 on TPU), params and
+optimizer state in fp32, loss/grad reduction in fp32 (SURVEY.md §2.6 AMP
+row: bf16 compute / fp32 accum is the TPU default policy).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import nn
+from .metrics import confusion_matrix
+from .state import TrainState
+
+
+def make_train_step(model: nn.Module, loss_fn: Callable,
+                    tx: optax.GradientTransformation, *,
+                    schedule: Optional[Callable] = None,
+                    compute_dtype=jnp.float32,
+                    grad_accum: int = 1,
+                    donate: bool = True):
+    """Build ``step(state, batch, rng) -> (state, metrics)``, jitted.
+
+    batch: {"image": NHWC float, "label": NHW int}. ``loss_fn(logits, labels)``
+    must reduce to a scalar. ``schedule`` is only used for LR reporting.
+    """
+
+    def one_step(state: TrainState, batch, rng):
+        images = batch["image"].astype(compute_dtype)
+        labels = batch["label"]
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_wrapped(params):
+            logits, new_vars = nn.apply(
+                model, {"params": params, "stats": state.stats}, images,
+                train=True, mutable=True, rngs={"dropout": step_rng})
+            loss = loss_fn(logits.astype(jnp.float32), labels)
+            return loss, new_vars["stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_wrapped, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        metrics = {"loss": loss}
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        return new_state, metrics
+
+    if grad_accum > 1:
+        def accum_step(state: TrainState, batch, rng):
+            """Microbatch accumulation via lax.scan over a reshaped batch."""
+            images = batch["image"]
+            labels = batch["label"]
+            b = images.shape[0]
+            assert b % grad_accum == 0
+            mb = b // grad_accum
+            images = images.reshape((grad_accum, mb) + images.shape[1:])
+            labels = labels.reshape((grad_accum, mb) + labels.shape[1:])
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_one(params, stats, im, lb, r):
+                logits, new_vars = nn.apply(
+                    model, {"params": params, "stats": stats},
+                    im.astype(compute_dtype), train=True, mutable=True,
+                    rngs={"dropout": r})
+                return loss_fn(logits.astype(jnp.float32), lb), \
+                    new_vars["stats"]
+
+            def body(carry, xs):
+                g_acc, loss_acc, stats = carry
+                im, lb, i = xs
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_one, has_aux=True)(state.params, stats, im, lb,
+                                            jax.random.fold_in(step_rng, i))
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss, stats), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p), state.params)
+            (g_sum, loss_sum, new_stats), _ = jax.lax.scan(
+                body, (zeros, 0.0, state.stats),
+                (images, labels, jnp.arange(grad_accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, g_sum)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_stats, new_opt,
+                                   state.step + 1)
+            metrics = {"loss": loss_sum / grad_accum}
+            if schedule is not None:
+                metrics["lr"] = schedule(state.step)
+            return new_state, metrics
+        fn = accum_step
+    else:
+        fn = one_step
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: nn.Module, num_classes: int, *,
+                   ignore_index: int = 255, compute_dtype=jnp.float32):
+    """Build ``eval_step(variables, batch) -> (pred NHW int32, cm KxK)``.
+
+    Confusion matrix accumulates on device; under a mesh the bincount is a
+    global reduction (the psum the reference did on a multiprocessing.Pool
+    [R: utils/metric/metric.py :: get_iou]).
+    """
+
+    @jax.jit
+    def eval_step(variables, batch):
+        logits = nn.apply(model, variables,
+                          batch["image"].astype(compute_dtype), train=False)
+        pred = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        cm = confusion_matrix(pred, batch["label"], num_classes, ignore_index)
+        return pred, cm
+
+    return eval_step
+
+
+def make_predict_step(model: nn.Module, *, compute_dtype=jnp.float32,
+                      output_size=None):
+    """Build ``predict(variables, images) -> pred NHW int32`` (predict.py)."""
+    from ..ops import resize_bilinear
+
+    @jax.jit
+    def predict(variables, images):
+        logits = nn.apply(model, variables, images.astype(compute_dtype),
+                          train=False)
+        if output_size is not None:
+            logits = resize_bilinear(logits.astype(jnp.float32), output_size)
+        return jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+    return predict

@@ -1,0 +1,83 @@
+"""Model zoo tests: shape contract, param-count sanity vs paper figures,
+gradient flow, jit-ability. (The reference has only __main__ smoke blocks
+[R: SURVEY.md §4]; this is the real version of that strategy.)
+
+Param targets are paper-reported (BASELINE.md); tolerance is generous since
+several papers round aggressively and variants differ.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esn_tpu.models import build_model, available_models
+from esn_tpu.utils.params import count_params
+
+# name -> (paper params in M or None, rel tolerance)
+PARAM_TARGETS = {
+    "enet": (0.37, 0.15),
+}
+
+# all models must pass the shape contract at this size (H, W mult of 32)
+SHAPE_CASES = [(19, 64, 128), (11, 96, 96)]
+
+
+def _check_model(name, classes, h, w, train=False):
+    model = build_model(name, classes)
+    x = jnp.zeros((2, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    if train:
+        y, new_vars = model.apply(variables, x, train=True, mutable=True,
+                                  rngs={"dropout": jax.random.PRNGKey(1)})
+        assert jax.tree_util.tree_structure(new_vars["stats"]) == \
+            jax.tree_util.tree_structure(variables["stats"])
+    else:
+        y = model.apply(variables, x)
+    assert y.shape == (2, h, w, classes), f"{name}: {y.shape}"
+    return model, variables
+
+
+@pytest.mark.parametrize("name", sorted(set(available_models())))
+def test_forward_shapes(name):
+    for classes, h, w in SHAPE_CASES:
+        _check_model(name, classes, h, w)
+
+
+@pytest.mark.parametrize("name", sorted(set(available_models())))
+def test_train_mode_and_grad(name):
+    model = build_model(name, 5)
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params):
+        y, _ = model.apply({"params": params, "stats": variables["stats"]},
+                           x, train=True, mutable=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves), name
+    nonzero = sum(bool(np.any(np.asarray(g) != 0)) for g in leaves)
+    assert nonzero > len(leaves) * 0.5, f"{name}: too many dead grads"
+
+
+@pytest.mark.parametrize("name", sorted(PARAM_TARGETS))
+def test_param_counts_vs_paper(name):
+    target_m, tol = PARAM_TARGETS[name]
+    model = build_model(name, 19)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    got_m = count_params(variables) / 1e6
+    assert got_m == pytest.approx(target_m, rel=tol), \
+        f"{name}: {got_m:.3f}M vs paper {target_m}M"
+
+
+def test_enet_jit_forward():
+    model = build_model("enet", 11)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    y = fwd(variables, x)
+    assert y.shape == (1, 96, 96, 11)
+    assert np.all(np.isfinite(np.asarray(y)))
