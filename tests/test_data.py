@@ -1,0 +1,167 @@
+"""Data pipeline tests: inform formula, on-device augmentation, loaders,
+palettes, builders (synthetic fallback)."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esn_tpu import data as D
+
+
+def test_class_weight_formula():
+    hist = np.array([900, 90, 10], np.int64)
+    w = D.compute_class_weights(hist, norm_val=1.10)
+    p = hist / hist.sum()
+    ref = 1.0 / np.log(1.10 + p)
+    np.testing.assert_allclose(w, ref.astype(np.float32), rtol=1e-6)
+    # rarer class -> larger weight
+    assert w[2] > w[1] > w[0]
+
+
+def test_collect_stats_and_label_guard():
+    spec = D.get_spec("camvid")
+    ds = D.SyntheticDataset(spec, length=4, hw=(64, 96))
+    stats = D.collect_stats(ds.stats_samples(), spec.num_classes,
+                            spec.ignore_label)
+    assert stats["classWeights"].shape == (11,)
+    assert stats["mean"].shape == (3,) and stats["std"].shape == (3,)
+    assert 0 < stats["mean"].mean() < 255
+
+    def bad_samples():
+        yield np.zeros((4, 4, 3), np.uint8), np.full((4, 4), 200, np.int32)
+
+    with pytest.raises(ValueError):
+        D.collect_stats(bad_samples(), 11, 11)
+
+
+def test_inform_cache_roundtrip():
+    spec = D.get_spec("camvid")
+    ds = D.SyntheticDataset(spec, length=2, hw=(32, 32))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "camvid_inform.pkl")
+        s1 = D.load_or_compute_inform(path, ds.stats_samples, 11, 11)
+        assert os.path.exists(path)
+        s2 = D.load_or_compute_inform(path, lambda: 1 / 0, 11, 11)  # cache hit
+        np.testing.assert_array_equal(s1["classWeights"], s2["classWeights"])
+
+
+def test_augment_shapes_and_ignore_fill(rng):
+    mean = np.array([90.0, 100.0, 110.0], np.float32)
+    aug = D.make_augment_fn(crop_hw=(64, 96), source_hw=(80, 120),
+                            mean=mean, ignore_label=11,
+                            scales=(0.5, 1.0, 2.0))
+    images = (rng.rand(4, 80, 120, 3) * 255).astype(np.uint8)
+    labels = rng.randint(0, 11, (4, 80, 120)).astype(np.int32)
+    for seed in range(6):
+        x, y = aug(jax.random.PRNGKey(seed), jnp.asarray(images),
+                   jnp.asarray(labels))
+        assert x.shape == (4, 64, 96, 3) and x.dtype == jnp.float32
+        assert y.shape == (4, 64, 96) and y.dtype == jnp.int32
+        yv = np.asarray(y)
+        assert ((0 <= yv) & ((yv < 11) | (yv == 11))).all()
+    # scale 0.5 needs a 128x192 source crop from an 80x120 image -> padding
+    # with ignore_label must appear for some seeds
+    seen_ignore = False
+    for seed in range(10):
+        _, y = aug(jax.random.PRNGKey(seed), jnp.asarray(images),
+                   jnp.asarray(labels))
+        if (np.asarray(y) == 11).any():
+            seen_ignore = True
+    assert seen_ignore
+
+
+def test_augment_mirror_and_determinism(rng):
+    mean = np.zeros(3, np.float32)
+    aug = D.make_augment_fn(crop_hw=(32, 32), source_hw=(32, 32), mean=mean,
+                            ignore_label=255, random_scale=False,
+                            random_mirror=True)
+    images = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    labels = rng.randint(0, 5, (2, 32, 32)).astype(np.int32)
+    x1, y1 = aug(jax.random.PRNGKey(0), jnp.asarray(images),
+                 jnp.asarray(labels))
+    x2, y2 = aug(jax.random.PRNGKey(0), jnp.asarray(images),
+                 jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    # label content preserved up to mirroring: histograms identical
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(y1[b]).ravel()),
+            np.sort(labels[b].ravel()))
+
+
+def test_batch_loader_and_prefetch():
+    spec = D.get_spec("camvid")
+    ds = D.SyntheticDataset(spec, length=10, hw=(32, 48))
+    loader = D.BatchLoader(ds, 4, shuffle=True, drop_last=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2 == len(loader)
+    assert batches[0]["image"].shape == (4, 32, 48, 3)
+    assert batches[0]["label"].shape == (4, 32, 48)
+    assert len(batches[0]["name"]) == 4
+
+    # epoch reshuffle changes order
+    loader.set_epoch(1)
+    b2 = list(loader)
+    assert not all(a["name"] == b["name"] for a, b in zip(batches, b2))
+
+    got = list(D.device_prefetch(iter(batches)))
+    assert len(got) == 2
+    assert isinstance(got[0]["image"], jax.Array)
+
+
+def test_palettes_and_save_predict(tmp_path):
+    from esn_tpu.data import palettes as P
+    mask = np.array([[0, 1], [18, 255]], np.uint8)
+    rgb = P.colorize_mask(mask, P.CITYSCAPES_PALETTE)
+    assert rgb.shape == (2, 2, 3)
+    np.testing.assert_array_equal(rgb[0, 0], [128, 64, 128])
+    np.testing.assert_array_equal(rgb[1, 1], [0, 0, 0])
+
+    lab = P.trainid_to_labelid(mask)
+    assert lab[0, 0] == 7 and lab[0, 1] == 8 and lab[1, 0] == 33
+
+    P.save_predict(mask, mask, "frame_000.png", "cityscapes",
+                   str(tmp_path), output_grey=True, output_color=True,
+                   gt_color=True)
+    assert (tmp_path / "frame_000.png").exists()
+    assert (tmp_path / "frame_000_color.png").exists()
+    assert (tmp_path / "frame_000_gt.png").exists()
+
+
+def test_builders_synthetic_fallback(tmp_path):
+    datas, train_loader, val_loader, aug, ev = D.build_dataset_train(
+        "camvid", (64, 96), batch_size=2, root=str(tmp_path),
+        synthetic_len=6)
+    assert datas["classWeights"].shape == (11,)
+    batch = next(iter(train_loader))
+    x, y = aug(jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+               jnp.asarray(batch["label"]))
+    assert x.shape == (2, 64, 96, 3)
+
+    datas2, test_loader, ev2 = D.build_dataset_test(
+        "camvid", root=str(tmp_path), none_gt=True)
+    b = next(iter(test_loader))
+    assert "label" not in b
+
+
+def test_manifest_parsing(tmp_path):
+    img = tmp_path / "img.png"
+    lab = tmp_path / "lab.png"
+    from PIL import Image
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(lab)
+    lst = tmp_path / "list.txt"
+    lst.write_text("img.png lab.png\nimg.png\n")
+    recs = D.read_manifest(str(lst))
+    assert len(recs) == 2
+    assert recs[0][1] is not None and recs[1][1] is None
+
+    spec = D.get_spec("camvid")
+    ds = D.ManifestDataset(recs, spec)
+    item = ds[0]
+    assert item["image"].shape == (8, 8, 3)
+    assert item["label"].shape == (8, 8)
+    assert "label" not in ds[1]
