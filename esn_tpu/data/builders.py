@@ -34,7 +34,7 @@ def _have_real_data(root: str, dataset: str, split: str) -> bool:
 
 
 def _make_dataset(root, dataset, split, spec, synthetic_len, resize_hw=None,
-                  seed=0):
+                  seed=0, synthetic_hw=None):
     if _have_real_data(root, dataset, split):
         return ManifestDataset.from_list_file(
             _list_path(root, dataset, split), spec,
@@ -42,23 +42,30 @@ def _make_dataset(root, dataset, split, spec, synthetic_len, resize_hw=None,
     print(f"[esn_tpu.data] WARNING: no list file for "
           f"{dataset}/{split} under {root!r} — using synthetic data")
     return SyntheticDataset(spec, length=synthetic_len, seed=seed,
-                            hw=resize_hw or spec.source_hw), False
+                            hw=resize_hw or synthetic_hw or spec.source_hw
+                            ), False
 
 
 def build_dataset_train(dataset: str, input_size: Tuple[int, int],
                         batch_size: int, train_type: str = "train",
                         random_scale: bool = True, random_mirror: bool = True,
                         num_workers: int = 4, root: str = DEFAULT_ROOT,
-                        synthetic_len: int = 64):
+                        synthetic_len: int = 64,
+                        val_size: Optional[Tuple[int, int]] = None,
+                        synthetic_hw: Optional[Tuple[int, int]] = None):
     """Returns (datas, train_loader, val_loader, augment_fn, eval_transform).
 
     datas = {'classWeights','mean','std'} — the inform dict [R].
+    ``val_size`` optionally fixes the val resolution (reference
+    CityscapesValDataSet resize mode [R]); default keeps source resolution.
     """
     spec = get_spec(dataset)
     split = "trainval" if train_type == "trainval" else "train"
-    train_ds, real = _make_dataset(root, dataset, split, spec, synthetic_len)
+    train_ds, real = _make_dataset(root, dataset, split, spec, synthetic_len,
+                                   synthetic_hw=synthetic_hw)
     val_ds, _ = _make_dataset(root, dataset, "val", spec,
-                              max(synthetic_len // 4, 8), seed=1)
+                              max(synthetic_len // 4, 8), seed=1,
+                              resize_hw=val_size, synthetic_hw=synthetic_hw)
 
     inform_path = os.path.join(root, "inform", f"{dataset}_inform.pkl") \
         if real else None
@@ -82,7 +89,8 @@ def build_dataset_train(dataset: str, input_size: Tuple[int, int],
 
 def build_dataset_test(dataset: str, num_workers: int = 4,
                        none_gt: bool = False, root: str = DEFAULT_ROOT,
-                       batch_size: int = 1, synthetic_len: int = 16):
+                       batch_size: int = 1, synthetic_len: int = 16,
+                       synthetic_hw: Optional[Tuple[int, int]] = None):
     """Returns (datas, test_loader, eval_transform).
 
     none_gt=True selects the unlabeled test split (predict.py) [R].
@@ -90,12 +98,13 @@ def build_dataset_test(dataset: str, num_workers: int = 4,
     spec = get_spec(dataset)
     split = "test" if none_gt else "val"
     ds, real = _make_dataset(root, dataset, split, spec, synthetic_len,
-                             seed=2)
+                             seed=2, synthetic_hw=synthetic_hw)
     if isinstance(ds, SyntheticDataset) and none_gt:
         ds.with_labels = False
 
     train_ds, train_real = _make_dataset(root, dataset, "train", spec,
-                                         synthetic_len)
+                                         synthetic_len,
+                                         synthetic_hw=synthetic_hw)
     inform_path = os.path.join(root, "inform", f"{dataset}_inform.pkl") \
         if train_real else None
     datas = load_or_compute_inform(

@@ -126,9 +126,11 @@ def adaptive_avg_pool2d(x: jnp.ndarray, output_size: IntOr2) -> jnp.ndarray:
     rows = []
     for i in range(oh):
         h0, h1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        h1 = max(h1, h0 + 1) if h0 < h else h1  # guard h < oh (tiny inputs)
         cols = []
         for j in range(ow):
             w0, w1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            w1 = max(w1, w0 + 1) if w0 < w else w1
             cols.append(jnp.mean(x[:, h0:h1, w0:w1, :].astype(jnp.float32),
                                  axis=(1, 2)))
         rows.append(jnp.stack(cols, axis=1))

@@ -55,6 +55,22 @@ def load_checkpoint(path: str, target_state: TrainState
     return state, dict(payload.get("meta", {}))
 
 
+def load_variables(path: str, target_variables):
+    """Restore only {params, stats} from a full checkpoint — for inference
+    CLIs, which must load checkpoints regardless of how the optimizer chain
+    was configured at train time."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    sd = payload["state"]
+    restored = {
+        "params": serialization.from_state_dict(
+            target_variables["params"], sd["params"], name="params"),
+        "stats": serialization.from_state_dict(
+            target_variables["stats"], sd["stats"], name="stats"),
+    }
+    return restored, dict(payload.get("meta", {}))
+
+
 def latest_checkpoint(savedir: str) -> Optional[str]:
     if not os.path.isdir(savedir):
         return None

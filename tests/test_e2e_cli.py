@@ -1,0 +1,107 @@
+"""End-to-end slice (BASELINE config 1 shape): ENet-on-CamVid-sized training
+through the Trainer library + train/test/predict CLIs on synthetic data,
+CPU inference + mIoU eval. Small shapes keep CPU runtime sane."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from esn_tpu.train.trainer import TrainConfig, Trainer
+
+TINY = dict(
+    dataset="camvid", input_size=(72, 96), max_epochs=2, batch_size=2,
+    lr=2e-3, val_epochs=1, synthetic_len=6, synthetic_hw=(144, 192),
+    num_workers=2, savedir=None,  # filled per-test
+)
+
+
+def make_cfg(tmp_path, **over):
+    kw = dict(TINY)
+    kw.update(over)
+    kw["savedir"] = str(tmp_path / "ckpt")
+    kw["data_root"] = str(tmp_path / "nodata")
+    return TrainConfig(**kw)
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = make_cfg(tmp_path, model="ENet")
+    trainer = Trainer(cfg)
+    assert trainer.n_params > 100_000
+    miou = trainer.fit()
+    assert 0.0 <= miou <= 1.0
+
+    run = cfg.run_dir
+    assert os.path.exists(os.path.join(run, "log.txt"))
+    assert os.path.exists(os.path.join(run, "events.jsonl"))
+    assert os.path.exists(os.path.join(run, "model_2.ckpt"))
+    assert os.path.exists(os.path.join(run, "loss_vs_epochs.png"))
+
+    # losses logged for both epochs and finite
+    import json
+    events = [json.loads(l) for l in
+              open(os.path.join(run, "events.jsonl"))]
+    assert len(events) == 2
+    assert all(np.isfinite(e["loss"]) for e in events)
+
+
+def test_trainer_resume(tmp_path):
+    cfg = make_cfg(tmp_path, model="ENet", max_epochs=2, val_epochs=99)
+    t1 = Trainer(cfg)
+    t1.fit(epochs=1)
+    ck = os.path.join(cfg.run_dir, "model_1.ckpt")
+    assert os.path.exists(ck)
+
+    cfg2 = make_cfg(tmp_path, model="ENet", max_epochs=2, val_epochs=99,
+                    resume=ck)
+    t2 = Trainer(cfg2)
+    assert t2.start_epoch == 1
+    assert int(jax.device_get(t2.state.step)) == int(
+        jax.device_get(t1.state.step))
+    t2.fit()
+    assert os.path.exists(os.path.join(cfg2.run_dir, "model_2.ckpt"))
+
+
+def test_cli_train_test_predict(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+    import test as test_cli
+    import predict as predict_cli
+
+    rc = train_cli.main([
+        "--model", "ENet", "--dataset", "camvid", "--input_size", "72,96",
+        "--max_epochs", "1", "--batch_size", "2", "--val_epochs", "1",
+        "--synthetic_len", "4", "--num_workers", "2",
+        "--synthetic_hw", "144,192",
+        "--savedir", str(tmp_path / "ck"), "--data_root",
+        str(tmp_path / "none"), "--compute_dtype", "float32"])
+    assert rc == 0
+    # find checkpoint
+    run_dirs = []
+    for root, dirs, files in os.walk(str(tmp_path / "ck")):
+        for f in files:
+            if f.endswith(".ckpt"):
+                run_dirs.append(os.path.join(root, f))
+    assert run_dirs
+    ckpt_path = run_dirs[0]
+
+    rc = test_cli.main([
+        "--model", "ENet", "--dataset", "camvid",
+        "--checkpoint", ckpt_path, "--synthetic_len", "2",
+        "--synthetic_hw", "144,192",
+        "--data_root", str(tmp_path / "none"),
+        "--compute_dtype", "float32"])
+    assert rc == 0
+
+    rc = predict_cli.main([
+        "--model", "ENet", "--dataset", "camvid",
+        "--checkpoint", ckpt_path, "--synthetic_len", "2",
+        "--synthetic_hw", "144,192",
+        "--save_seg_dir", str(tmp_path / "preds"),
+        "--data_root", str(tmp_path / "none"),
+        "--compute_dtype", "float32"])
+    assert rc == 0
+    preds = os.listdir(str(tmp_path / "preds"))
+    assert any(p.endswith("_color.png") for p in preds)
