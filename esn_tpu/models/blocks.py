@@ -1,0 +1,255 @@
+"""Shared block library — the ~12 families the 17-model zoo decomposes into
+(SURVEY.md §7 design stance). The reference repeats these per file
+[R: model/*.py]; here models are thin compositions over this module, which
+is also where per-family Pallas fusion lands (ops/pallas/) without touching
+any model code.
+
+All blocks are NHWC; convs feeding BN carry no bias.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import pooling as P
+from ..ops import resize as R
+
+IntOr2 = Union[int, Tuple[int, int]]
+
+
+def _act_module(act: Optional[str], ch: int) -> Optional[nn.Module]:
+    if act is None or act == "none":
+        return None
+    if act == "relu":
+        return nn.Fn(nn.relu)
+    if act == "relu6":
+        return nn.Fn(nn.relu6)
+    if act == "prelu":
+        return nn.PReLU(ch)
+    if act == "prelu1":
+        return nn.PReLU(1)
+    raise KeyError(act)
+
+
+class ConvBNAct(nn.Module):
+    """conv -> BN -> activation; the universal fused unit (XLA folds the BN
+    affine into the conv epilogue). Reference: CBR/ConvBNPReLU/_ConvBNReLU
+    variants in nearly every model file [R]."""
+
+    def __init__(self, in_ch: int, out_ch: int, kernel: IntOr2 = 3, *,
+                 stride: IntOr2 = 1, padding: Optional[IntOr2] = None,
+                 dilation: IntOr2 = 1, groups: int = 1, act: str = "prelu",
+                 bn: bool = True, bias: Optional[bool] = None,
+                 bn_eps: float = 1e-5):
+        if padding is None:
+            k = kernel if isinstance(kernel, tuple) else (kernel, kernel)
+            d = dilation if isinstance(dilation, tuple) else (dilation,) * 2
+            padding = (d[0] * (k[0] - 1) // 2, d[1] * (k[1] - 1) // 2)
+        self.conv = nn.Conv(in_ch, out_ch, kernel, stride=stride,
+                            padding=padding, dilation=dilation, groups=groups,
+                            bias=(not bn) if bias is None else bias)
+        self.bn = nn.BatchNorm(out_ch, eps=bn_eps) if bn else None
+        self.act = _act_module(act, out_ch)
+
+    def __call__(self, scope, x):
+        x = scope("conv", self.conv, x)
+        if self.bn is not None:
+            x = scope("bn", self.bn, x)
+        if self.act is not None:
+            x = scope("act", self.act, x)
+        return x
+
+
+class BNAct(nn.Module):
+    """BN -> PReLU/ReLU (reference BR/BNPReLU [R])."""
+
+    def __init__(self, ch: int, act: str = "prelu", bn_eps: float = 1e-5):
+        self.bn = nn.BatchNorm(ch, eps=bn_eps)
+        self.act = _act_module(act, ch)
+
+    def __call__(self, scope, x):
+        x = scope("bn", self.bn, x)
+        if self.act is not None:
+            x = scope("act", self.act, x)
+        return x
+
+
+class DWConvBNAct(nn.Module):
+    """Depthwise conv -> BN -> act (channel multiplier 1)."""
+
+    def __init__(self, ch: int, kernel: IntOr2 = 3, *, stride: IntOr2 = 1,
+                 dilation: IntOr2 = 1, act: str = "relu",
+                 padding: Optional[IntOr2] = None):
+        self.inner = ConvBNAct(ch, ch, kernel, stride=stride,
+                               dilation=dilation, groups=ch, act=act,
+                               padding=padding)
+
+    def __call__(self, scope, x):
+        return scope("dw", self.inner, x)
+
+
+class DSConv(nn.Module):
+    """Depthwise-separable conv: dw 3x3 + pw 1x1, each BN+ReLU
+    (reference _DSConv in FastSCNN/ContextNet [R])."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, stride: IntOr2 = 1,
+                 kernel: IntOr2 = 3, dilation: IntOr2 = 1, act: str = "relu"):
+        self.dw = ConvBNAct(in_ch, in_ch, kernel, stride=stride,
+                            dilation=dilation, groups=in_ch, act=act)
+        self.pw = ConvBNAct(in_ch, out_ch, 1, act=act)
+
+    def __call__(self, scope, x):
+        return scope("pw", self.pw, scope("dw", self.dw, x))
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 linear bottleneck (reference LinearBottleneck in
+    FastSCNN/ContextNet [R]): 1x1 expand -> dw 3x3 -> 1x1 project (linear),
+    residual when stride 1 and shapes match."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, expansion: int = 6,
+                 stride: int = 1, dilation: int = 1, act: str = "relu6"):
+        mid = in_ch * expansion
+        self.use_res = (stride == 1 and in_ch == out_ch)
+        self.expand = ConvBNAct(in_ch, mid, 1, act=act) if expansion != 1 \
+            else None
+        self.dw = ConvBNAct(mid, mid, 3, stride=stride, dilation=dilation,
+                            groups=mid, act=act)
+        self.project = ConvBNAct(mid, out_ch, 1, act="none")
+
+    def __call__(self, scope, x):
+        y = x
+        if self.expand is not None:
+            y = scope("expand", self.expand, y)
+        y = scope("dw", self.dw, y)
+        y = scope("project", self.project, y)
+        return x + y if self.use_res else y
+
+
+class PyramidPooling(nn.Module):
+    """PPM (reference PyramidPooling in FastSCNN [R]): adaptive-avg-pool to
+    ``bins``, 1x1 reduce, bilinear upsample, concat, 1x1 fuse."""
+
+    def __init__(self, in_ch: int, out_ch: Optional[int] = None,
+                 bins: Sequence[int] = (1, 2, 3, 6), act: str = "relu"):
+        out_ch = out_ch or in_ch
+        self.bins = tuple(bins)
+        red = in_ch // len(bins)
+        self.reducers = [ConvBNAct(in_ch, red, 1, act=act) for _ in bins]
+        self.fuse = ConvBNAct(in_ch + red * len(bins), out_ch, 1, act=act)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        feats = [x]
+        for i, b in enumerate(self.bins):
+            y = P.adaptive_avg_pool2d(x, b)
+            y = scope(f"reduce{i}", self.reducers[i], y)
+            feats.append(R.resize_bilinear(y, (h, w)))
+        return scope("fuse", self.fuse, jnp.concatenate(feats, axis=-1))
+
+
+class SEGate(nn.Module):
+    """Squeeze-excite channel gate: GAP -> FC -> ReLU -> FC -> sigmoid -> scale
+    (reference FGlo in CGNet, SEModule in FPENet [R])."""
+
+    def __init__(self, ch: int, reduction: int = 16):
+        mid = max(ch // reduction, 1)
+        self.fc1 = nn.Dense(ch, mid)
+        self.fc2 = nn.Dense(mid, ch)
+
+    def __call__(self, scope, x):
+        s = P.global_avg_pool(x, keepdims=False)        # (N, C)
+        s = nn.relu(scope("fc1", self.fc1, s))
+        s = nn.sigmoid(scope("fc2", self.fc2, s))
+        return x * s[:, None, None, :]
+
+
+class DownsamplerConcat(nn.Module):
+    """conv s2 || maxpool s2 -> concat (-> BN+act). Reference
+    DownsamplerBlock in ERFNet/LEDNet/ESNet, ENet InitialBlock [R].
+    When out_ch <= in_ch the conv produces out_ch and no pool concat happens
+    (ERFNet semantics for deep downsamplers)."""
+
+    def __init__(self, in_ch: int, out_ch: int, act: str = "relu",
+                 bn_eps: float = 1e-3):
+        self.concat_pool = out_ch > in_ch
+        conv_out = out_ch - in_ch if self.concat_pool else out_ch
+        self.conv = nn.Conv(in_ch, conv_out, 3, stride=2, padding=1,
+                            bias=True)
+        self.post = BNAct(out_ch, act=act, bn_eps=bn_eps)
+
+    def __call__(self, scope, x):
+        y = scope("conv", self.conv, x)
+        if self.concat_pool:
+            y = jnp.concatenate([y, P.max_pool2d(x, 2, 2)], axis=-1)
+        return scope("post", self.post, y)
+
+
+class InputInjection(nn.Module):
+    """k cascaded stride-2 avg-pools of the raw input (reference
+    InputInjection / InputProjectionA in CGNet/ESPNet/DABNet [R])."""
+
+    def __init__(self, times: int):
+        self.times = times
+
+    def __call__(self, scope, x):
+        for _ in range(self.times):
+            x = P.avg_pool2d(x, 3, 2, 1)
+        return x
+
+
+def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """(reference LEDNet channel_shuffle [R])"""
+    n, h, w, c = x.shape
+    assert c % groups == 0
+    return x.reshape(n, h, w, groups, c // groups) \
+            .transpose(0, 1, 2, 4, 3).reshape(n, h, w, c)
+
+
+def channel_split(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    c = x.shape[-1] // 2
+    return x[..., :c], x[..., c:]
+
+
+class FactorizedConv(nn.Module):
+    """(k,1)+(1,k) factorized pair with optional dilation, BN+act after the
+    pair (reference non_bottleneck_1d halves, FCU, SS-nbt branches [R])."""
+
+    def __init__(self, ch: int, k: int = 3, *, dilation: int = 1,
+                 act: str = "relu", act_between: bool = True,
+                 bn: bool = True, bn_eps: float = 1e-3):
+        pad = (k - 1) // 2
+        d = dilation
+        self.c1 = nn.Conv(ch, ch, (k, 1), padding=(pad * d, 0),
+                          dilation=(d, 1), bias=True)
+        self.c2 = nn.Conv(ch, ch, (1, k), padding=(0, pad * d),
+                          dilation=(1, d), bias=True)
+        self.between = _act_module(act if act_between else None, ch)
+        self.post = BNAct(ch, act=act, bn_eps=bn_eps) if bn else \
+            _act_module(act, ch)
+
+    def __call__(self, scope, x):
+        x = scope("c1", self.c1, x)
+        if self.between is not None:
+            x = scope("between", self.between, x)
+        x = scope("c2", self.c2, x)
+        if self.post is not None:
+            x = scope("post", self.post, x)
+        return x
+
+
+class UpsamplerBlock(nn.Module):
+    """3x3 s2 transposed conv + BN + act (reference ERFNet/ESNet decoder
+    UpsamplerBlock [R])."""
+
+    def __init__(self, in_ch: int, out_ch: int, act: str = "relu",
+                 bn_eps: float = 1e-3):
+        self.deconv = nn.ConvTranspose(in_ch, out_ch, 3, stride=2, padding=1,
+                                       output_padding=1, bias=True)
+        self.post = BNAct(out_ch, act=act, bn_eps=bn_eps)
+
+    def __call__(self, scope, x):
+        return scope("post", self.post, scope("deconv", self.deconv, x))

@@ -16,6 +16,8 @@ from esn_tpu.utils.params import count_params
 # name -> (paper params in M or None, rel tolerance)
 PARAM_TARGETS = {
     "enet": (0.37, 0.15),
+    "fastscnn": (1.11, 0.15),
+    "contextnet": (0.85, 0.20),
 }
 
 # all models must pass the shape contract at this size (H, W mult of 32)
