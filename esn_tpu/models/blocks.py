@@ -241,6 +241,36 @@ class FactorizedConv(nn.Module):
         return x
 
 
+class NonBottleneck1d(nn.Module):
+    """Factorized residual unit (reference non_bottleneck_1d in ERFNet, FCU
+    in ESNet [R]): (kx1 -> relu -> 1xk -> BN+relu) then the dilated pair
+    (kx1 -> relu -> 1xk -> BN), dropout, residual add, relu."""
+
+    def __init__(self, ch: int, k: int = 3, *, dilation: int = 1,
+                 dropout: float = 0.0, bn_eps: float = 1e-3):
+        pad = (k - 1) // 2
+        self.p1a = nn.Conv(ch, ch, (k, 1), padding=(pad, 0), bias=True)
+        self.p1b = nn.Conv(ch, ch, (1, k), padding=(0, pad), bias=True)
+        self.bn1 = nn.BatchNorm(ch, eps=bn_eps)
+        d = dilation
+        self.p2a = nn.Conv(ch, ch, (k, 1), padding=(pad * d, 0),
+                           dilation=(d, 1), bias=True)
+        self.p2b = nn.Conv(ch, ch, (1, k), padding=(0, pad * d),
+                           dilation=(1, d), bias=True)
+        self.bn2 = nn.BatchNorm(ch, eps=bn_eps)
+        self.drop = nn.SpatialDropout(dropout)
+
+    def __call__(self, scope, x):
+        y = nn.relu(scope("p1a", self.p1a, x))
+        y = scope("p1b", self.p1b, y)
+        y = nn.relu(scope("bn1", self.bn1, y))
+        y = nn.relu(scope("p2a", self.p2a, y))
+        y = scope("p2b", self.p2b, y)
+        y = scope("bn2", self.bn2, y)
+        y = scope("drop", self.drop, y)
+        return nn.relu(x + y)
+
+
 class UpsamplerBlock(nn.Module):
     """3x3 s2 transposed conv + BN + act (reference ERFNet/ESNet decoder
     UpsamplerBlock [R])."""

@@ -18,6 +18,15 @@ PARAM_TARGETS = {
     "enet": (0.37, 0.15),
     "fastscnn": (1.11, 0.15),
     "contextnet": (0.85, 0.20),
+    "erfnet": (2.06, 0.10),
+    "edanet": (0.68, 0.10),
+    "esnet": (1.66, 0.10),
+    "linknet": (11.5, 0.10),
+    "segnet": (29.5, 0.10),
+    "fssnet": (0.20, 0.25),
+    # sqnet: paper params poorly specified; regression-pin our reconstruction
+    "sqnet": (6.40, 0.10),
+    "unet": (31.0, 0.10),
 }
 
 # all models must pass the shape contract at this size (H, W mult of 32)
