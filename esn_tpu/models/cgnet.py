@@ -1,0 +1,117 @@
+"""CGNet M3N21 (Wu et al. 2018, arXiv 1811.08201) — NHWC, TPU-native.
+
+Reference counterpart: ``model/CGNet.py`` [R] (ConvBNPReLU, ChannelWiseConv,
+ChannelWiseDilatedConv, FGlo, ContextGuidedBlock, ContextGuidedBlock_Down,
+InputInjection). ~0.50M params, paper 64.8 mIoU.
+
+The CG block computes joint local (depthwise 3x3) + surrounding (depthwise
+dilated 3x3) context, fuses, then gates channels with a GAP->FC->sigmoid
+global-context unit (FGlo). Stages: M=3 blocks at 1/4 (d=2), N=21 at 1/8
+(d=4), with raw-input injections at each downsampling.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import pooling as P
+from ..ops import resize as R
+from .blocks import BNAct, ConvBNAct, InputInjection, SEGate
+from .registry import register
+
+BN_EPS = 1e-3
+
+
+class FGlo(SEGate):
+    """Global context channel gate (GAP -> FC/r -> ReLU -> FC -> sigmoid)."""
+
+
+class CGBlock(nn.Module):
+    """Residual context-guided block at constant resolution."""
+
+    def __init__(self, ch: int, dilation: int = 2, reduction: int = 16):
+        half = ch // 2
+        self.reduce = ConvBNAct(ch, half, 1, act="prelu", bn_eps=BN_EPS)
+        self.loc = nn.Conv(half, half, 3, padding=1, groups=half, bias=False)
+        self.sur = nn.Conv(half, half, 3, padding=dilation,
+                           dilation=dilation, groups=half, bias=False)
+        self.join = BNAct(ch, act="prelu", bn_eps=BN_EPS)
+        self.glo = FGlo(ch, reduction)
+
+    def __call__(self, scope, x):
+        y = scope("reduce", self.reduce, x)
+        loc = scope("loc", self.loc, y)
+        sur = scope("sur", self.sur, y)
+        y = scope("join", self.join, jnp.concatenate([loc, sur], axis=-1))
+        y = scope("glo", self.glo, y)
+        return x + y
+
+
+class CGBlockDown(nn.Module):
+    """Strided context-guided block (no residual): full 3x3/s2, dual
+    depthwise context, 1x1 re-fuse, FGlo."""
+
+    def __init__(self, in_ch: int, out_ch: int, dilation: int = 2,
+                 reduction: int = 16):
+        self.conv = ConvBNAct(in_ch, out_ch, 3, stride=2, act="prelu",
+                              bn_eps=BN_EPS)
+        self.loc = nn.Conv(out_ch, out_ch, 3, padding=1, groups=out_ch,
+                           bias=False)
+        self.sur = nn.Conv(out_ch, out_ch, 3, padding=dilation,
+                           dilation=dilation, groups=out_ch, bias=False)
+        self.join_bn = BNAct(2 * out_ch, act="prelu", bn_eps=BN_EPS)
+        self.refuse = nn.Conv(2 * out_ch, out_ch, 1, bias=False)
+        self.glo = FGlo(out_ch, reduction)
+
+    def __call__(self, scope, x):
+        y = scope("conv", self.conv, x)
+        loc = scope("loc", self.loc, y)
+        sur = scope("sur", self.sur, y)
+        y = scope("join_bn", self.join_bn,
+                  jnp.concatenate([loc, sur], axis=-1))
+        y = scope("refuse", self.refuse, y)
+        return scope("glo", self.glo, y)
+
+
+@register("cgnet", "context_guided_network")
+class CGNet(nn.Module):
+    def __init__(self, classes: int = 19, in_ch: int = 3, m: int = 3,
+                 n: int = 21, dropout: float = 0.0):
+        self.stem = nn.Sequential(
+            ConvBNAct(in_ch, 32, 3, stride=2, act="prelu", bn_eps=BN_EPS),
+            ConvBNAct(32, 32, 3, act="prelu", bn_eps=BN_EPS),
+            ConvBNAct(32, 32, 3, act="prelu", bn_eps=BN_EPS))
+        self.inj1 = InputInjection(1)
+        self.inj2 = InputInjection(2)
+        self.b1 = BNAct(32 + in_ch, act="prelu", bn_eps=BN_EPS)
+
+        self.down2 = CGBlockDown(32 + in_ch, 64, dilation=2, reduction=8)
+        self.stage2 = nn.Sequential(*[CGBlock(64, 2, 8)
+                                      for _ in range(m - 1)])
+        self.b2 = BNAct(128 + in_ch, act="prelu", bn_eps=BN_EPS)
+
+        self.down3 = CGBlockDown(128 + in_ch, 128, dilation=4, reduction=16)
+        self.stage3 = nn.Sequential(*[CGBlock(128, 4, 16)
+                                      for _ in range(n - 1)])
+        self.b3 = BNAct(256, act="prelu", bn_eps=BN_EPS)
+        self.drop = nn.SpatialDropout(dropout)
+        self.head = nn.Conv(256, classes, 1, bias=False)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        s1 = scope("stem", self.stem, x)                       # 1/2, 32
+        i1 = scope("inj1", self.inj1, x)
+        i2 = scope("inj2", self.inj2, x)
+        y = scope("b1", self.b1, jnp.concatenate([s1, i1], -1))
+
+        d2 = scope("down2", self.down2, y)                     # 1/4, 64
+        s2 = scope("stage2", self.stage2, d2)
+        y = scope("b2", self.b2, jnp.concatenate([s2, d2, i2], -1))
+
+        d3 = scope("down3", self.down3, y)                     # 1/8, 128
+        s3 = scope("stage3", self.stage3, d3)
+        y = scope("b3", self.b3, jnp.concatenate([s3, d3], -1))
+        y = scope("drop", self.drop, y)
+        y = scope("head", self.head, y)
+        return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
+            .astype(y.dtype)

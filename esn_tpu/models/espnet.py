@@ -1,0 +1,129 @@
+"""ESPNet (Mehta et al. 2018, arXiv 1803.06815 — PAPERS.md) — NHWC.
+
+Reference counterpart: ``model/ESPNet.py`` [R] (CBR/BR/C/CDilated,
+DownSamplerB, DilatedParllelResidualBlockB, InputProjectionA,
+ESPNet_Encoder, ESPNet). ~0.36M params, paper 60.3 mIoU.
+
+ESP module: 1x1 reduce to n/K -> K parallel dilated 3x3 (d=1,2,4,8,16) ->
+**hierarchical feature fusion** (cumulative sums de-grid the dilated
+outputs) -> concat (+ residual). Encoder = ESPNet-C with input reinjections;
+the full ESPNet adds a light transposed-conv decoder with level-wise skips.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import resize as R
+from .blocks import BNAct, ConvBNAct, InputInjection
+from .registry import register
+
+BN_EPS = 1e-3
+
+
+class ESPModule(nn.Module):
+    """K-way dilated spatial pyramid with HFF; residual when shapes allow."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, stride: int = 1, k: int = 5,
+                 residual: bool = True):
+        d = out_ch // k
+        d1 = out_ch - d * (k - 1)  # first branch absorbs the remainder
+        self.k = k
+        self.reduce = nn.Conv(in_ch, d, 3 if stride == 2 else 1,
+                              stride=stride,
+                              padding=1 if stride == 2 else 0, bias=False)
+        self.branches = []
+        for i in range(k):
+            dil = 2 ** i
+            out = d1 if i == 0 else d
+            self.branches.append(nn.Conv(d, out, 3, padding=dil,
+                                         dilation=dil, bias=False))
+        self.post = BNAct(out_ch, act="prelu", bn_eps=BN_EPS)
+        self.residual = residual and stride == 1 and in_ch == out_ch
+
+    def __call__(self, scope, x):
+        y = scope("reduce", self.reduce, x)
+        outs = [scope(f"d{i}", b, y) for i, b in enumerate(self.branches)]
+        # hierarchical feature fusion: prefix-sum the dilated outputs
+        fused = [outs[0]]
+        acc = outs[1] if self.k > 1 else None
+        for i in range(1, self.k):
+            acc = outs[i] if i == 1 else acc + outs[i]
+            fused.append(acc)
+        y = jnp.concatenate(fused, axis=-1)
+        if self.residual:
+            y = y + x
+        return scope("post", self.post, y)
+
+
+@register("espnet_c", "espnetc")
+class ESPNetC(nn.Module):
+    """Encoder-only variant with a 1x1 classifier (ESPNet-C [R])."""
+
+    def __init__(self, classes: int = 19, in_ch: int = 3, alpha2: int = 2,
+                 alpha3: int = 8):
+        self.stem = ConvBNAct(in_ch, 16, 3, stride=2, act="prelu",
+                              bn_eps=BN_EPS)
+        self.inj1 = InputInjection(1)
+        self.inj2 = InputInjection(2)
+        self.b1 = BNAct(16 + in_ch, act="prelu", bn_eps=BN_EPS)
+        self.down1 = ESPModule(16 + in_ch, 64, stride=2, residual=False)
+        self.level2 = nn.Sequential(*[ESPModule(64, 64)
+                                      for _ in range(alpha2)])
+        self.b2 = BNAct(128 + in_ch, act="prelu", bn_eps=BN_EPS)
+        self.down2 = ESPModule(128 + in_ch, 128, stride=2, residual=False)
+        self.level3 = nn.Sequential(*[ESPModule(128, 128)
+                                      for _ in range(alpha3)])
+        self.b3 = BNAct(256, act="prelu", bn_eps=BN_EPS)
+        self.head = nn.Conv(256, classes, 1, bias=False)
+
+    def encode(self, scope, x):
+        """Returns (l1 cat, l2 cat, l3 cat) feature pyramid."""
+        i1 = scope("inj1", self.inj1, x)
+        i2 = scope("inj2", self.inj2, x)
+        s = scope("stem", self.stem, x)                       # 1/2
+        f1 = scope("b1", self.b1, jnp.concatenate([s, i1], -1))   # 19
+        d1 = scope("down1", self.down1, f1)                   # 1/4, 64
+        l2 = scope("level2", self.level2, d1)
+        f2 = scope("b2", self.b2,
+                   jnp.concatenate([l2, d1, i2], -1))          # 131
+        d2 = scope("down2", self.down2, f2)                   # 1/8, 128
+        l3 = scope("level3", self.level3, d2)
+        f3 = scope("b3", self.b3, jnp.concatenate([l3, d2], -1))  # 256
+        return f1, f2, f3
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        _, _, f3 = self.encode(scope, x)
+        y = scope("head", self.head, f3)
+        return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
+            .astype(y.dtype)
+
+
+@register("espnet")
+class ESPNet(nn.Module):
+    """ESPNet-C + light decoder with level-wise skips [R: ESPNet]."""
+
+    def __init__(self, classes: int = 19, in_ch: int = 3, alpha2: int = 2,
+                 alpha3: int = 8):
+        self.enc = ESPNetC(classes, in_ch, alpha2, alpha3)
+        c = classes
+        self.proj3 = ConvBNAct(256, c, 1, act="prelu", bn_eps=BN_EPS)
+        self.up3 = nn.ConvTranspose(c, c, 2, stride=2, bias=False)
+        self.proj2 = ConvBNAct(128 + in_ch, c, 1, act="prelu", bn_eps=BN_EPS)
+        self.mix2 = ESPModule(2 * c, 2 * c, residual=False, k=4)
+        self.up2 = nn.ConvTranspose(2 * c, c, 2, stride=2, bias=False)
+        self.proj1 = ConvBNAct(16 + in_ch, c, 1, act="prelu", bn_eps=BN_EPS)
+        self.mix1 = ConvBNAct(2 * c, c, 3, act="prelu", bn_eps=BN_EPS)
+        self.up1 = nn.ConvTranspose(c, c, 2, stride=2, bias=False)
+
+    def __call__(self, scope, x):
+        f1, f2, f3 = self.enc.encode(scope.child("enc"), x)
+        y = scope("proj3", self.proj3, f3)                # 1/8, C
+        y = scope("up3", self.up3, y)                     # 1/4
+        s2 = scope("proj2", self.proj2, f2)
+        y = scope("mix2", self.mix2, jnp.concatenate([y, s2], -1))
+        y = scope("up2", self.up2, y)                     # 1/2
+        s1 = scope("proj1", self.proj1, f1)
+        y = scope("mix1", self.mix1, jnp.concatenate([y, s1], -1))
+        return scope("up1", self.up1, y)                  # 1/1, C

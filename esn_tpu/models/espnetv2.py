@@ -1,0 +1,129 @@
+"""ESPNetv2 segmentation (Mehta et al. 2019, arXiv 1811.11431 — PAPERS.md).
+
+Reference counterpart: ``model/ESPNet_v2/`` [R] (EESP, DownSampler, EESPNet,
+EESPNet_Seg; ~700 LoC dir). ~0.8M params (seg), paper 66.2 mIoU.
+
+EESP unit: grouped 1x1 reduce -> K depthwise **dilated** 3x3 (d=1,2,4,8) ->
+HFF prefix-sum de-gridding -> concat -> grouped 1x1 expand -> residual.
+Strided EESP concatenates an avg-pooled copy of the unit input and adds a
+reinjection of the avg-pooled *raw image* (the v2 signature move).
+Seg head: PSP-style pooling on the deepest level + EESP fusion with the
+1/8 skip, classes at 1/8, x8 bilinear.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import pooling as P
+from ..ops import resize as R
+from .blocks import BNAct, ConvBNAct, PyramidPooling
+from .registry import register
+
+BN_EPS = 1e-3
+
+
+class EESP(nn.Module):
+    def __init__(self, in_ch: int, out_ch: int, *, stride: int = 1,
+                 k: int = 4, groups: int = 4, residual: bool = True):
+        d = max(out_ch // k, 1)
+        rem = out_ch - d * (k - 1)
+        self.k = k
+        g = groups if (in_ch % groups == 0 and d % groups == 0) else 1
+        self.reduce = ConvBNAct(in_ch, d, 1, groups=g, act="prelu",
+                                bn_eps=BN_EPS)
+        self.branches = []
+        for i in range(k):
+            dil = 2 ** i
+            out = rem if i == k - 1 else d
+            self.branches.append(nn.Conv(d, out, 3, padding=dil,
+                                         dilation=dil, groups=d if out % d == 0
+                                         else 1, bias=False))
+        self.concat_bn = BNAct(out_ch, act="prelu", bn_eps=BN_EPS)
+        ge = groups if out_ch % groups == 0 else 1
+        self.expand = ConvBNAct(out_ch, out_ch, 1, groups=ge, act="none",
+                                bn_eps=BN_EPS)
+        self.stride = stride
+        self.residual = residual and stride == 1 and in_ch == out_ch
+        self.act = nn.PReLU(out_ch)
+
+    def __call__(self, scope, x):
+        y = scope("reduce", self.reduce, x)
+        if self.stride == 2:
+            y = P.avg_pool2d(y, 3, 2, 1)
+        outs = [scope(f"d{i}", b, y) for i, b in enumerate(self.branches)]
+        fused, acc = [outs[0]], None
+        for i in range(1, self.k):
+            acc = outs[i] if i == 1 else acc + outs[i]
+            fused.append(acc)
+        y = jnp.concatenate(fused, axis=-1)
+        y = scope("concat_bn", self.concat_bn, y)
+        y = scope("expand", self.expand, y)
+        if self.residual:
+            y = y + x
+        return scope("act", self.act, y)
+
+
+class StridedEESP(nn.Module):
+    """stride-2 EESP || avg-pool(input) concat, + raw-image reinjection."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, k: int = 4,
+                 groups: int = 4, in_image_ch: int = 3):
+        eesp_out = out_ch - in_ch
+        assert eesp_out > 0
+        self.eesp = EESP(in_ch, eesp_out, stride=2, k=k, groups=groups,
+                         residual=False)
+        self.img_conv = nn.Sequential(
+            ConvBNAct(in_image_ch, in_image_ch, 3, act="prelu",
+                      bn_eps=BN_EPS),
+            ConvBNAct(in_image_ch, out_ch, 1, act="none", bn_eps=BN_EPS))
+        self.act = nn.PReLU(out_ch)
+
+    def __call__(self, scope, x, image):
+        main = scope("eesp", self.eesp, x)
+        pooled = P.avg_pool2d(x, 3, 2, 1)
+        y = jnp.concatenate([main, pooled], axis=-1)
+        img = R.resize_bilinear(image, y.shape[1:3])
+        y = y + scope("img_conv", self.img_conv, img)
+        return scope("act", self.act, y)
+
+
+@register("espnetv2", "espnet_v2", "eespnet_seg")
+class ESPNetV2Seg(nn.Module):
+    def __init__(self, classes: int = 19, in_ch: int = 3,
+                 chs=(32, 128, 256, 512), repeats=(3, 7, 3)):
+        # default channel stack matches the reference's s=2.0 EESPNet [R]
+        c0, c1, c2, c3 = chs
+        self.stem = ConvBNAct(in_ch, c0, 3, stride=2, act="prelu",
+                              bn_eps=BN_EPS)                    # 1/2
+        self.down1 = StridedEESP(c0, c1)                        # 1/4
+        self.level1 = nn.Sequential(*[EESP(c1, c1)
+                                      for _ in range(repeats[0])])
+        self.down2 = StridedEESP(c1, c2)                        # 1/8
+        self.level2 = nn.Sequential(*[EESP(c2, c2)
+                                      for _ in range(repeats[1])])
+        self.down3 = StridedEESP(c2, c3)                        # 1/16
+        self.level3 = nn.Sequential(*[EESP(c3, c3)
+                                      for _ in range(repeats[2])])
+
+        self.psp = PyramidPooling(c3, c2 // 2, act="relu")
+        self.proj_l2 = ConvBNAct(c2, c2 // 2, 1, act="prelu", bn_eps=BN_EPS)
+        self.fuse = EESP(c2, c2 // 2, residual=False)
+        self.head = nn.Conv(c2 // 2, classes, 1, bias=False)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = scope("stem", self.stem, x)
+        y = scope("down1", self.down1, y, x)
+        y = scope("level1", self.level1, y)
+        y = scope("down2", self.down2, y, x)
+        l2 = scope("level2", self.level2, y)                   # 1/8, 128
+        y = scope("down3", self.down3, l2, x)
+        y = scope("level3", self.level3, y)                    # 1/16, 256
+        y = scope("psp", self.psp, y)                          # 1/16, 128
+        y = R.resize_bilinear(y, l2.shape[1:3])                # 1/8
+        s = scope("proj_l2", self.proj_l2, l2)
+        y = scope("fuse", self.fuse, jnp.concatenate([y, s], -1))
+        y = scope("head", self.head, y)
+        return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
+            .astype(y.dtype)

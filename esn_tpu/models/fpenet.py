@@ -1,0 +1,108 @@
+"""FPENet (Liu & Yin 2019, arXiv 1909.08599) — NHWC, TPU-native.
+
+Reference counterpart: ``model/FPENet.py`` [R] (FPEBlock, MEUModule,
+SEModule). ~0.38M params, paper 70.1 mIoU.
+
+FPE block: 1x1 expand (t=4) -> split into 4 groups -> depthwise 3x3 with
+dilations 1,2,4,8, each group's output added into the next (an in-block
+feature pyramid / HFF) -> concat -> 1x1 project -> SE gate -> residual.
+Decoder: MEU mutual-embedding upsample (channel attention from deep x
+spatial attention from shallow).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import pooling as P
+from ..ops import resize as R
+from .blocks import ConvBNAct, SEGate
+from .registry import register
+
+
+class FPEBlock(nn.Module):
+    def __init__(self, in_ch: int, out_ch: int, *, stride: int = 1,
+                 t: int = 4, scales: int = 4, dilations=(1, 2, 4, 8),
+                 reduction: int = 16):
+        mid = out_ch * t
+        assert mid % scales == 0
+        self.scales = scales
+        self.g = mid // scales
+        self.expand = ConvBNAct(in_ch, mid, 1, stride=stride, act="relu")
+        self.dws = [ConvBNAct(self.g, self.g, 3, dilation=d, groups=self.g,
+                              act="relu") for d in dilations[:scales]]
+        self.project = ConvBNAct(mid, out_ch, 1, act="none")
+        self.se = SEGate(out_ch, reduction)
+        self.use_res = (stride == 1 and in_ch == out_ch)
+        self.act = nn.Fn(nn.relu)
+
+    def __call__(self, scope, x):
+        y = scope("expand", self.expand, x)
+        groups = [y[..., i * self.g:(i + 1) * self.g]
+                  for i in range(self.scales)]
+        outs = []
+        prev = None
+        for i, dw in enumerate(self.dws):
+            inp = groups[i] if prev is None else groups[i] + prev
+            prev = dw(scope.child(f"dw{i}"), inp)
+            outs.append(prev)
+        y = jnp.concatenate(outs, axis=-1)
+        y = scope("project", self.project, y)
+        y = scope("se", self.se, y)
+        if self.use_res:
+            y = x + y
+        return nn.relu(y)
+
+
+class MEU(nn.Module):
+    """Mutual embedding upsample: deep features gated by shallow spatial
+    attention; shallow features gated by deep channel attention; sum."""
+
+    def __init__(self, deep_ch: int, shallow_ch: int, out_ch: int):
+        self.deep_conv = ConvBNAct(deep_ch, out_ch, 1, act="none")
+        self.shallow_conv = ConvBNAct(shallow_ch, out_ch, 1, act="none")
+        self.chan_fc = nn.Conv(out_ch, out_ch, 1, bias=True)
+        self.spat_conv = nn.Conv(1, 1, 1, bias=True)
+
+    def __call__(self, scope, deep, shallow):
+        d = scope("deep_conv", self.deep_conv, deep)
+        s = scope("shallow_conv", self.shallow_conv, shallow)
+        # channel attention from deep (GAP -> 1x1 -> sigmoid)
+        ca = P.global_avg_pool(d)
+        ca = nn.sigmoid(scope("chan_fc", self.chan_fc, ca))
+        # spatial attention from shallow (channel-mean -> 1x1 -> sigmoid)
+        sa = jnp.mean(s.astype(jnp.float32), axis=-1, keepdims=True)
+        sa = nn.sigmoid(scope("spat_conv", self.spat_conv,
+                              sa.astype(s.dtype)))
+        d_up = R.resize_bilinear(d, s.shape[1:3])
+        sa_d = d_up * sa          # deep modulated by shallow spatial attn
+        ca_s = s * ca             # shallow modulated by deep channel attn
+        return nn.relu(sa_d + ca_s)
+
+
+@register("fpenet")
+class FPENet(nn.Module):
+    def __init__(self, classes: int = 19, in_ch: int = 3, width: int = 16):
+        w = width
+        self.stem = ConvBNAct(in_ch, w, 3, stride=2, act="relu")     # 1/2
+        self.stage1 = FPEBlock(w, w, t=1)
+        self.down2 = FPEBlock(w, 2 * w, stride=2, t=4)               # 1/4
+        self.stage2 = nn.Sequential(FPEBlock(2 * w, 2 * w, t=4),
+                                    FPEBlock(2 * w, 2 * w, t=4))
+        self.down3 = FPEBlock(2 * w, 4 * w, stride=2, t=4)           # 1/8
+        self.stage3 = nn.Sequential(*[FPEBlock(4 * w, 4 * w, t=4)
+                                      for _ in range(8)])
+        self.meu2 = MEU(4 * w, 2 * w, 2 * w)
+        self.meu1 = MEU(2 * w, w, w)
+        self.head = nn.Conv(w, classes, 1, bias=True)
+
+    def __call__(self, scope, x):
+        h, w_ = x.shape[1:3]
+        s1 = scope("stage1", self.stage1, scope("stem", self.stem, x))
+        s2 = scope("stage2", self.stage2, scope("down2", self.down2, s1))
+        s3 = scope("stage3", self.stage3, scope("down3", self.down3, s2))
+        y = scope("meu2", self.meu2, s3, s2)       # 1/4
+        y = scope("meu1", self.meu1, y, s1)        # 1/2
+        y = scope("head", self.head, y)
+        return R.resize_bilinear(y.astype(jnp.float32), (h, w_)) \
+            .astype(y.dtype)

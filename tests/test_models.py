@@ -1,6 +1,6 @@
-"""Model zoo tests: shape contract, param-count sanity vs paper figures,
-gradient flow, jit-ability. (The reference has only __main__ smoke blocks
-[R: SURVEY.md §4]; this is the real version of that strategy.)
+"""Model zoo tests: shape contract, param-count parity vs paper, gradient
+flow, train-mode stats — ONE init per model (this box has a single CPU core,
+so repeated unjitted inits dominate test time).
 
 Param targets are paper-reported (BASELINE.md); tolerance is generous since
 several papers round aggressively and variants differ.
@@ -27,61 +27,63 @@ PARAM_TARGETS = {
     # sqnet: paper params poorly specified; regression-pin our reconstruction
     "sqnet": (6.40, 0.10),
     "unet": (31.0, 0.10),
+    "cgnet": (0.50, 0.10),
+    "dabnet": (0.76, 0.10),
+    "lednet": (0.94, 0.20),
+    "fpenet": (0.38, 0.15),
+    "espnet": (0.36, 0.10),
+    "espnet_c": (0.35, 0.10),
+    "espnetv2": (0.80, 0.25),
 }
 
-# all models must pass the shape contract at this size (H, W mult of 32)
-SHAPE_CASES = [(19, 64, 128), (11, 96, 96)]
-
-
-def _check_model(name, classes, h, w, train=False):
-    model = build_model(name, classes)
-    x = jnp.zeros((2, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
-    if train:
-        y, new_vars = model.apply(variables, x, train=True, mutable=True,
-                                  rngs={"dropout": jax.random.PRNGKey(1)})
-        assert jax.tree_util.tree_structure(new_vars["stats"]) == \
-            jax.tree_util.tree_structure(variables["stats"])
-    else:
-        y = model.apply(variables, x)
-    assert y.shape == (2, h, w, classes), f"{name}: {y.shape}"
-    return model, variables
+H, W, CLASSES = 64, 128, 19
 
 
 @pytest.mark.parametrize("name", sorted(set(available_models())))
-def test_forward_shapes(name):
-    for classes, h, w in SHAPE_CASES:
-        _check_model(name, classes, h, w)
-
-
-@pytest.mark.parametrize("name", sorted(set(available_models())))
-def test_train_mode_and_grad(name):
-    model = build_model(name, 5)
-    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+def test_model_contract(name):
+    """init -> param parity -> train forward+grad -> eval forward, one init."""
+    model = build_model(name, CLASSES)
+    x = jnp.ones((1, H, W, 3), jnp.float32) * 0.1
     variables = model.init(jax.random.PRNGKey(0), x)
 
+    # --- param parity
+    if name in PARAM_TARGETS:
+        target_m, tol = PARAM_TARGETS[name]
+        got_m = count_params(variables) / 1e6
+        assert got_m == pytest.approx(target_m, rel=tol), \
+            f"{name}: {got_m:.3f}M vs paper {target_m}M"
+
+    # --- eval forward: full-resolution logits
+    y = model.apply(variables, x)
+    assert y.shape == (1, H, W, CLASSES), f"{name}: {y.shape}"
+    assert np.all(np.isfinite(np.asarray(y))), name
+
+    # --- train forward + grad: finite, mostly-nonzero, stats tree stable
     def loss_fn(params):
-        y, _ = model.apply({"params": params, "stats": variables["stats"]},
-                           x, train=True, mutable=True,
-                           rngs={"dropout": jax.random.PRNGKey(1)})
-        return jnp.mean(y.astype(jnp.float32) ** 2)
+        out, new_vars = model.apply(
+            {"params": params, "stats": variables["stats"]}, x,
+            train=True, mutable=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.mean(out.astype(jnp.float32) ** 2), new_vars["stats"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    (loss, new_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss)), name
+    assert jax.tree_util.tree_structure(new_stats) == \
+        jax.tree_util.tree_structure(variables["stats"])
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves), name
     nonzero = sum(bool(np.any(np.asarray(g) != 0)) for g in leaves)
     assert nonzero > len(leaves) * 0.5, f"{name}: too many dead grads"
 
 
-@pytest.mark.parametrize("name", sorted(PARAM_TARGETS))
-def test_param_counts_vs_paper(name):
-    target_m, tol = PARAM_TARGETS[name]
-    model = build_model(name, 19)
-    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
-    got_m = count_params(variables) / 1e6
-    assert got_m == pytest.approx(target_m, rel=tol), \
-        f"{name}: {got_m:.3f}M vs paper {target_m}M"
+def test_all_13_contractual_models_present():
+    """BASELINE.json north star: the 13-model contractual minimum."""
+    required = ["enet", "erfnet", "espnet", "espnetv2", "cgnet", "dabnet",
+                "edanet", "fastscnn", "contextnet", "lednet", "linknet",
+                "segnet", "fpenet", "sqnet"]
+    have = set(available_models())
+    missing = [m for m in required if m not in have]
+    assert not missing, f"missing contractual models: {missing}"
 
 
 def test_enet_jit_forward():
@@ -92,3 +94,13 @@ def test_enet_jit_forward():
     y = fwd(variables, x)
     assert y.shape == (1, 96, 96, 11)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_camvid_shape_variant():
+    """11-class, non-square input works across a representative subset."""
+    for name in ("enet", "fastscnn", "cgnet"):
+        model = build_model(name, 11)
+        x = jnp.zeros((1, 96, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(variables, x)
+        assert y.shape == (1, 96, 64, 11), name
