@@ -52,26 +52,57 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
     return y
 
 
+def _zero_insert(x: jnp.ndarray, sh: int, sw: int) -> jnp.ndarray:
+    """(N,H,W,C) -> (N,H*sh,W*sw,C): each pixel followed by s-1 zero rows/cols."""
+    if sh == 1 and sw == 1:
+        return x
+    n, h, w, c = x.shape
+    y = jnp.zeros((n, h, sh, w, sw, c), x.dtype)
+    y = y.at[:, :, 0, :, 0, :].set(x)
+    return y.reshape(n, h * sh, w * sw, c)
+
+
 def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
                      stride: IntOr2 = 1, padding: IntOr2 = 0,
                      output_padding: IntOr2 = 0,
                      bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Transposed conv with torch shape semantics, as an lhs-dilated conv.
+    """Transposed conv with torch shape semantics:
+    ``out = (H - 1)*s - 2p + k + output_padding``. x: NHWC, kernel: HWIO
+    (I = in_channels, O = out_channels).
 
-    x: NHWC, kernel: HWIO (I = in_channels, O = out_channels).
-    ``out = (H - 1)*s - 2p + k + output_padding``.
+    Implemented as explicit zero-insertion (reshape interleave) + a stride-1
+    conv rather than lax lhs_dilation: the reshape/pad/conv pipeline is
+    handled exactly by XLA's SPMD partitioner under spatial sharding, where
+    lhs-dilated convs with asymmetric padding miscompile (halo logic), and it
+    maps onto the MXU identically after fusion.
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
     assert oph < sh and opw < sw, "output_padding must be < stride"
+    y = _zero_insert(x, sh, sw)
+    # zero-insertion appends (s-1) trailing zero rows/cols beyond the last
+    # sample vs. pure lhs-dilation; fold them into the high-side padding
+    pad_h = (kh - 1 - ph, kh - 1 - ph + oph - (sh - 1))
+    pad_w = (kw - 1 - pw, kw - 1 - pw + opw - (sw - 1))
+
+    def clamp(yy, axis, lo, hi):
+        # negative padding = crop (rare: p > k-1 or large stride)
+        if lo < 0:
+            yy = lax.slice_in_dim(yy, -lo, yy.shape[axis], axis=axis)
+            lo = 0
+        if hi < 0:
+            yy = lax.slice_in_dim(yy, 0, yy.shape[axis] + hi, axis=axis)
+            hi = 0
+        return yy, lo, hi
+
+    y, lo_h, hi_h = clamp(y, 1, *pad_h)
+    y, lo_w, hi_w = clamp(y, 2, *pad_w)
     y = lax.conv_general_dilated(
-        x, kernel.astype(x.dtype),
+        y, kernel.astype(x.dtype),
         window_strides=(1, 1),
-        padding=((kh - 1 - ph, kh - 1 - ph + oph),
-                 (kw - 1 - pw, kw - 1 - pw + opw)),
-        lhs_dilation=(sh, sw),
+        padding=((lo_h, hi_h), (lo_w, hi_w)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if bias is not None:
