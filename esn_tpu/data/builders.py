@@ -78,9 +78,17 @@ def build_dataset_train(dataset: str, input_size: Tuple[int, int],
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
                              drop_last=False, num_workers=num_workers)
 
+    if hasattr(train_ds, "hw"):          # synthetic: fixed size by build
+        source_hw = train_ds.hw
+    else:
+        # real data: trust the files, not the spec — probe the first record
+        # and normalize any odd-sized stragglers to it (XLA needs one static
+        # source shape; the reference assumes it implicitly [R: dataset/*.py])
+        source_hw = tuple(train_ds[0]["image"].shape[:2])
+        train_ds.resize_hw = source_hw
+
     augment_fn = make_augment_fn(
-        crop_hw=tuple(input_size), source_hw=train_ds.hw
-        if hasattr(train_ds, "hw") else spec.source_hw,
+        crop_hw=tuple(input_size), source_hw=source_hw,
         mean=datas["mean"], ignore_label=spec.ignore_label,
         random_scale=random_scale, random_mirror=random_mirror)
     eval_transform = make_eval_transform(mean=datas["mean"])

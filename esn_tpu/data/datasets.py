@@ -84,22 +84,31 @@ class ManifestDataset:
         return len(self.records)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        import cv2
         img_path, lab_path = self.records[i]
-        image = cv2.imread(img_path, cv2.IMREAD_COLOR)  # BGR, like reference
+        image = label = None
+        from . import native
+        if native.available():  # C++ decode+resize (native/esn_native.cc)
+            image = native.decode_bgr(img_path, self.resize_hw)
+            if lab_path is not None and image is not None:
+                label = native.decode_grey(lab_path, self.resize_hw)
+                if label is None:
+                    image = None  # fall through to cv2 for both
         if image is None:
-            raise FileNotFoundError(img_path)
-        label = None
-        if lab_path is not None:
-            label = cv2.imread(lab_path, cv2.IMREAD_GRAYSCALE)
-            if label is None:
-                raise FileNotFoundError(lab_path)
-        if self.resize_hw is not None:
-            h, w = self.resize_hw
-            image = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
-            if label is not None:
-                label = cv2.resize(label, (w, h),
-                                   interpolation=cv2.INTER_NEAREST)
+            import cv2
+            image = cv2.imread(img_path, cv2.IMREAD_COLOR)  # BGR, like ref
+            if image is None:
+                raise FileNotFoundError(img_path)
+            if lab_path is not None:
+                label = cv2.imread(lab_path, cv2.IMREAD_GRAYSCALE)
+                if label is None:
+                    raise FileNotFoundError(lab_path)
+            if self.resize_hw is not None:
+                h, w = self.resize_hw
+                image = cv2.resize(image, (w, h),
+                                   interpolation=cv2.INTER_LINEAR)
+                if label is not None:
+                    label = cv2.resize(label, (w, h),
+                                       interpolation=cv2.INTER_NEAREST)
         item = {"image": image.astype(np.uint8),
                 "name": os.path.basename(img_path),
                 "size": np.array(image.shape[:2], np.int32)}

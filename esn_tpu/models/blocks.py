@@ -93,16 +93,61 @@ class DWConvBNAct(nn.Module):
 
 class DSConv(nn.Module):
     """Depthwise-separable conv: dw 3x3 + pw 1x1, each BN+ReLU
-    (reference _DSConv in FastSCNN/ContextNet [R])."""
+    (reference _DSConv in FastSCNN/ContextNet [R]).
+
+    At eval time on TPU the whole block collapses into the single-pass
+    Pallas kernel :func:`esn_tpu.ops.pallas.fused_dsconv` (BN folded into
+    per-channel affines) — one HBM read, one HBM write, intermediate stays
+    in VMEM. Training and non-TPU backends use the plain composed path.
+    """
 
     def __init__(self, in_ch: int, out_ch: int, *, stride: IntOr2 = 1,
                  kernel: IntOr2 = 3, dilation: IntOr2 = 1, act: str = "relu"):
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.stride_, self.kernel_, self.dilation_ = stride, kernel, dilation
+        self.act_ = act
         self.dw = ConvBNAct(in_ch, in_ch, kernel, stride=stride,
                             dilation=dilation, groups=in_ch, act=act)
         self.pw = ConvBNAct(in_ch, out_ch, 1, act=act)
 
+    def _fusible(self, scope, x) -> bool:
+        from ..ops import pallas as PK
+        return (not scope.is_init and not scope.train and x.ndim == 4
+                and self.kernel_ in (3, (3, 3))
+                and self.dilation_ in (1, (1, 1))
+                and self.stride_ in (1, 2, (1, 1), (2, 2))
+                and self.act_ in ("relu", "relu6", "none")
+                and PK.enabled())
+
     def __call__(self, scope, x):
+        if self._fusible(scope, x):
+            return self._fused(scope, x)
         return scope("pw", self.pw, scope("dw", self.dw, x))
+
+    def _fused(self, scope, x):
+        from ..ops import pallas as PK
+        never = lambda *a: (_ for _ in ()).throw(AssertionError("apply-only"))
+        ci, co = self.in_ch, self.out_ch
+
+        def bn_affine(s, c, eps):
+            gamma = s.param("scale", never, (c,))
+            beta = s.param("bias", never, (c,))
+            mean = s.stat("mean", never, (c,))
+            var = s.stat("var", never, (c,))
+            return PK.fold_bn(mean, var, gamma, beta, eps)
+
+        dws = scope.child("dw")
+        dwk = dws.child("conv").param("kernel", never, (3, 3, 1, ci))
+        a1, b1 = bn_affine(dws.child("bn"), ci, self.dw.bn.eps)
+        pws = scope.child("pw")
+        pwk = pws.child("conv").param("kernel", never, (1, 1, ci, co))
+        a2, b2 = bn_affine(pws.child("bn"), co, self.pw.bn.eps)
+
+        stride = self.stride_ if isinstance(self.stride_, int) \
+            else self.stride_[0]
+        return PK.fused_dsconv(
+            x, dwk.reshape(3, 3, ci), a1, b1, pwk.reshape(ci, co), a2, b2,
+            stride=stride, act1=self.act_, act2=self.act_)
 
 
 class InvertedResidual(nn.Module):
