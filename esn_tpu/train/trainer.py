@@ -23,6 +23,7 @@ from ..data import builders as data_builders
 from ..data.datasets import get_spec
 from ..models import build_model
 from ..parallel import mesh as meshlib
+from ..utils import profiling
 from ..utils.params import count_params
 from . import checkpoint as ckpt
 from .losses import build_loss
@@ -64,6 +65,7 @@ class TrainConfig:
     use_class_weights: bool = True
     val_size: Optional[Tuple[int, int]] = None  # None = source resolution
     synthetic_hw: Optional[Tuple[int, int]] = None  # shrink synthetic source
+    profile_dir: str = ""       # capture a profiler trace of epoch 1 steps
 
     @property
     def run_dir(self) -> str:
@@ -142,6 +144,7 @@ class Trainer:
         self._log_path = os.path.join(self.cfg.run_dir, cfg.log_file)
         self._jsonl_path = os.path.join(self.cfg.run_dir, "events.jsonl")
         self._history = []  # (epoch, loss, lr, miou or None)
+        self._step_timer = profiling.StepTimer()
         self._log_header()
 
     # ------------------------------------------------------------------ log
@@ -159,9 +162,14 @@ class Trainer:
         with open(self._log_path, "a") as f:
             f.write(f"{epoch}\t{lr:.6f}\t{loss:.4f}\t{miou_s}\t"
                     f"{seconds:.1f}\n")
+        event = {"epoch": epoch, "loss": loss, "lr": lr,
+                 "miou": miou, "time_s": seconds}
+        steps = self._step_timer.summary()
+        if steps:
+            event["host_step"] = steps  # dispatch+input time, not device time
+            self._step_timer.reset()
         with open(self._jsonl_path, "a") as f:
-            f.write(json.dumps({"epoch": epoch, "loss": loss, "lr": lr,
-                                "miou": miou, "time_s": seconds}) + "\n")
+            f.write(json.dumps(event) + "\n")
 
     # ---------------------------------------------------------------- train
     def train_epoch(self, epoch: int) -> Tuple[float, float]:
@@ -170,16 +178,22 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed * 1000003 + epoch)
         losses, lr = [], 0.0
         sharding = meshlib.batch_sharding(self.mesh)
-        for i, batch in enumerate(self.train_loader):
-            aug_rng = jax.random.fold_in(rng, i)
-            images = jax.device_put(batch["image"], sharding)
-            labels = jax.device_put(
-                batch["label"], meshlib.batch_sharding(self.mesh, ndim=3))
-            x, y = self.augment(aug_rng, images, labels)
-            self.state, metrics = self.train_step(
-                self.state, {"image": x, "label": y}, rng)
-            losses.append(metrics["loss"])
-            lr = metrics.get("lr", cfg.lr)
+        do_trace = bool(cfg.profile_dir) and epoch == self.start_epoch
+        with profiling.trace(cfg.profile_dir if do_trace else None):
+            for i, batch in enumerate(self.train_loader):
+                with self._step_timer.step():
+                    aug_rng = jax.random.fold_in(rng, i)
+                    images = jax.device_put(batch["image"], sharding)
+                    labels = jax.device_put(
+                        batch["label"],
+                        meshlib.batch_sharding(self.mesh, ndim=3))
+                    with profiling.annotate("augment"):
+                        x, y = self.augment(aug_rng, images, labels)
+                    with profiling.annotate("train_step"):
+                        self.state, metrics = self.train_step(
+                            self.state, {"image": x, "label": y}, rng)
+                    losses.append(metrics["loss"])
+                    lr = metrics.get("lr", cfg.lr)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         return mean_loss, float(lr)
 

@@ -52,6 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_len", type=int, default=64)
     p.add_argument("--synthetic_hw", default=None, help="H,W synthetic source")
     # compat no-ops (reference GPU flags)
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of the first epoch")
     p.add_argument("--cuda", type=bool, default=True,
                    help="[compat] ignored; devices come from the JAX mesh")
     p.add_argument("--gpus", default="0",
@@ -91,7 +93,8 @@ def config_from_args(args):
         train_type=args.train_type, resume=args.resume,
         savedir=args.savedir, log_file=args.logFile, seed=args.seed,
         val_epochs=args.val_epochs, compute_dtype=dtype,
-        grad_accum=args.grad_accum, synthetic_len=args.synthetic_len)
+        grad_accum=args.grad_accum, synthetic_len=args.synthetic_len,
+        profile_dir=args.profile_dir)
     if args.synthetic_hw:
         kw["synthetic_hw"] = tuple(
             int(v) for v in str(args.synthetic_hw).replace("x", ",").split(","))
