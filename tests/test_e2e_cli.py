@@ -72,24 +72,35 @@ def test_cli_train_test_predict(tmp_path, monkeypatch):
 
     rc = train_cli.main([
         "--model", "ENet", "--dataset", "camvid", "--input_size", "72,96",
-        "--max_epochs", "1", "--batch_size", "2", "--val_epochs", "1",
+        "--max_epochs", "2", "--batch_size", "2", "--val_epochs", "2",
         "--synthetic_len", "4", "--num_workers", "2",
         "--synthetic_hw", "144,192",
         "--savedir", str(tmp_path / "ck"), "--data_root",
         str(tmp_path / "none"), "--compute_dtype", "float32"])
     assert rc == 0
-    # find checkpoint
+    # find checkpoints (one per epoch)
     run_dirs = []
     for root, dirs, files in os.walk(str(tmp_path / "ck")):
         for f in files:
             if f.endswith(".ckpt"):
                 run_dirs.append(os.path.join(root, f))
-    assert run_dirs
-    ckpt_path = run_dirs[0]
+    assert len(run_dirs) == 2
+    ckpt_path = sorted(run_dirs)[-1]
 
     rc = test_cli.main([
         "--model", "ENet", "--dataset", "camvid",
         "--checkpoint", ckpt_path, "--synthetic_len", "2",
+        "--synthetic_hw", "144,192",
+        "--data_root", str(tmp_path / "none"),
+        "--compute_dtype", "float32",
+        "--save", "--save_seg_dir", str(tmp_path / "eval_saves")])
+    assert rc == 0
+    assert os.listdir(str(tmp_path / "eval_saves"))  # --save wrote masks
+
+    # --best sweeps every model_*.ckpt in the run dir [R: test.py]
+    rc = test_cli.main([
+        "--model", "ENet", "--dataset", "camvid",
+        "--checkpoint", ckpt_path, "--best", "--synthetic_len", "2",
         "--synthetic_hw", "144,192",
         "--data_root", str(tmp_path / "none"),
         "--compute_dtype", "float32"])
