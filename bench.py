@@ -33,7 +33,7 @@ BASELINES_FPS = {  # reference fps @ 2048x1024 (BASELINE.md; paper-reported)
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fastscnn")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
     p.add_argument("--size", default="1024,2048")
     p.add_argument("--iters_lo", type=int, default=6)
@@ -118,7 +118,9 @@ def main(argv=None):
     dt_per_iter = (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
 
     ips = args.batch / dt_per_iter
-    base = BASELINES_FPS.get(args.model.lower())
+    # the reference publishes inference fps only; train mode has no baseline
+    base = BASELINES_FPS.get(args.model.lower()) \
+        if args.mode == "infer" else None
     result = {
         "metric": f"{args.model}_{h}x{w}_{args.mode}_images_per_sec_per_chip",
         "value": round(ips, 2),

@@ -30,12 +30,27 @@ def make_train_step(model: nn.Module, loss_fn: Callable,
                     schedule: Optional[Callable] = None,
                     compute_dtype=jnp.float32,
                     grad_accum: int = 1,
-                    donate: bool = True):
+                    donate: bool = True,
+                    remat: bool = False):
     """Build ``step(state, batch, rng) -> (state, metrics)``, jitted.
 
     batch: {"image": NHWC float, "label": NHW int}. ``loss_fn(logits, labels)``
     must reduce to a scalar. ``schedule`` is only used for LR reporting.
+    ``remat=True`` rematerializes the forward during backward
+    (``jax.checkpoint``) — trades ~1 extra forward of FLOPs for dropping
+    activation storage; this is what makes full-resolution 2048x1024 batches
+    fit HBM (BASELINE config 5 / SURVEY §7 hard-part 6).
     """
+
+    def fwd(params, stats, images, labels, step_rng):
+        logits, new_vars = nn.apply(
+            model, {"params": params, "stats": stats}, images,
+            train=True, mutable=True, rngs={"dropout": step_rng})
+        loss = loss_fn(logits.astype(jnp.float32), labels)
+        return loss, new_vars["stats"]
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
 
     def one_step(state: TrainState, batch, rng):
         images = batch["image"].astype(compute_dtype)
@@ -43,11 +58,7 @@ def make_train_step(model: nn.Module, loss_fn: Callable,
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_wrapped(params):
-            logits, new_vars = nn.apply(
-                model, {"params": params, "stats": state.stats}, images,
-                train=True, mutable=True, rngs={"dropout": step_rng})
-            loss = loss_fn(logits.astype(jnp.float32), labels)
-            return loss, new_vars["stats"]
+            return fwd(params, state.stats, images, labels, step_rng)
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_wrapped, has_aux=True)(state.params)

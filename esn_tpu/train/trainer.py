@@ -66,6 +66,7 @@ class TrainConfig:
     val_size: Optional[Tuple[int, int]] = None  # None = source resolution
     synthetic_hw: Optional[Tuple[int, int]] = None  # shrink synthetic source
     profile_dir: str = ""       # capture a profiler trace of epoch 1 steps
+    remat: bool = False         # rematerialize fwd in bwd (full-res memory)
 
     @property
     def run_dir(self) -> str:
@@ -125,7 +126,8 @@ class Trainer:
             else jnp.float32
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.tx, schedule=self.schedule,
-            compute_dtype=compute_dtype, grad_accum=cfg.grad_accum)
+            compute_dtype=compute_dtype, grad_accum=cfg.grad_accum,
+            remat=cfg.remat)
         self.eval_step = make_eval_step(
             self.model, self.spec.num_classes,
             ignore_index=self.spec.ignore_label,

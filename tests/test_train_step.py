@@ -155,3 +155,32 @@ def test_checkpoint_exact_resume(rng):
         for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                         jax.tree_util.tree_leaves(s2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_matches_plain(rng):
+    """jax.checkpoint must not change numerics, only memory."""
+    model, tx, step_plain = build_everything(with_bn=True)
+    from esn_tpu.train.losses import cross_entropy
+    from esn_tpu.train.state import TrainState
+    from esn_tpu.train.step import make_train_step
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    loss_fn = lambda lg, lb: cross_entropy(lg, lb, num_classes=NUM_CLASSES)
+    step_remat = make_train_step(model, loss_fn, tx, donate=False, remat=True)
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3), jnp.float32))
+    batch = {"image": jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32),
+             "label": jnp.asarray(rng.randint(0, NUM_CLASSES, (2, 16, 16)))}
+    key = jax.random.PRNGKey(1)
+
+    s1, m1 = step_plain(TrainState.create(variables, tx), batch, key)
+    s2, m2 = step_remat(TrainState.create(variables, tx), batch, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

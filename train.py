@@ -54,6 +54,8 @@ def parse_args(argv=None):
     # compat no-ops (reference GPU flags)
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward in backward (full-res memory)")
     p.add_argument("--cuda", type=bool, default=True,
                    help="[compat] ignored; devices come from the JAX mesh")
     p.add_argument("--gpus", default="0",
@@ -94,7 +96,7 @@ def config_from_args(args):
         savedir=args.savedir, log_file=args.logFile, seed=args.seed,
         val_epochs=args.val_epochs, compute_dtype=dtype,
         grad_accum=args.grad_accum, synthetic_len=args.synthetic_len,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir, remat=args.remat)
     if args.synthetic_hw:
         kw["synthetic_hw"] = tuple(
             int(v) for v in str(args.synthetic_hw).replace("x", ",").split(","))
