@@ -32,6 +32,76 @@ def _pair(v: IntOr2) -> Tuple[int, int]:
     return (int(v), int(v))
 
 
+import functools
+
+
+def _conv_raw(x, kernel, stride, padding, dilation, groups):
+    return lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_core(x, kernel, stride, padding, dilation, groups):
+    """conv with a hand-written weight gradient.
+
+    XLA's native conv weight-grad on TPU lowers poorly for dense kernels
+    (measured ~15x slower than the forward at zoo shapes —
+    tools/bench_bwd_tmp.py); dW is mathematically K*K strided-slice
+    contractions, so emit exactly that: one ``(Ci, N*Ho*Wo) @ (N*Ho*Wo, Co)``
+    MXU matmul per tap. dx keeps XLA's native transposed-conv grad (fast).
+    """
+    return _conv_raw(x, kernel, stride, padding, dilation, groups)
+
+
+def _conv_fwd(x, kernel, stride, padding, dilation, groups):
+    return _conv_core(x, kernel, stride, padding, dilation, groups), (x, kernel)
+
+
+def _conv_bwd(stride, padding, dilation, groups, res, gy):
+    x, kernel = res
+    _, vjp_x = jax.vjp(
+        lambda x_: _conv_raw(x_, kernel, stride, padding, dilation, groups), x)
+    (dx,) = vjp_x(gy)
+
+    kh, kw = kernel.shape[:2]
+    if groups != 1 or kh * kw > 25:
+        # depthwise/grouped: XLA's native dW is fine (measured); huge kernels:
+        # tap-loop trace cost outweighs the win
+        _, vjp_w = jax.vjp(
+            lambda w_: _conv_raw(x, w_, stride, padding, dilation, groups),
+            kernel)
+        (dw,) = vjp_w(gy)
+        return dx, dw
+
+    (ph0, ph1), (pw0, pw1) = padding
+    sh, sw = stride
+    dh, dw_ = dilation
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    n, ho, wo = gy.shape[:3]
+    taps = []
+    for ki in range(kh):
+        r0 = ki * dh
+        rows = lax.slice_in_dim(xp, r0, r0 + (ho - 1) * sh + 1, sh, axis=1)
+        for kj in range(kw):
+            c0 = kj * dw_
+            tap = lax.slice_in_dim(rows, c0, c0 + (wo - 1) * sw + 1, sw,
+                                   axis=2)
+            taps.append(jnp.einsum(
+                "nhwc,nhwd->cd", tap, gy,
+                preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(kh, kw, *taps[0].shape)
+    return dx, dw.astype(kernel.dtype)
+
+
+_conv_core.defvjp(_conv_fwd, _conv_bwd)
+
+
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
            stride: IntOr2 = 1, padding: IntOr2 = 0, dilation: IntOr2 = 1,
            groups: int = 1, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -39,14 +109,8 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    y = lax.conv_general_dilated(
-        x, kernel.astype(x.dtype),
-        window_strides=(sh, sw),
-        padding=((ph, ph), (pw, pw)),
-        rhs_dilation=(dh, dw),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    y = _conv_core(x, kernel, (sh, sw), ((ph, ph), (pw, pw)), (dh, dw),
+                   groups)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -83,3 +83,44 @@ def test_resize_bilinear_matches_torch(rng):
     y = ops.resize_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), (17, 33))
     np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_custom_weight_grad_matches_native(rng):
+    """The hand-written dW (K*K strided einsums) == XLA's native conv grad."""
+    from esn_tpu.ops.convolution import conv2d, _conv_raw
+    for (k, s, p, d, g, ci, co) in [
+            ((3, 3), 1, 1, 1, 1, 6, 8),
+            ((3, 3), 2, 1, 1, 1, 6, 8),
+            ((3, 1), 1, (1, 0), 1, 1, 5, 7),
+            ((3, 3), 1, 2, 2, 1, 4, 4),      # dilated
+            ((5, 5), 2, 2, 1, 1, 3, 8),
+            ((3, 3), 1, 1, 1, 4, 8, 8),      # grouped (native path)
+    ]:
+        x = jnp.asarray(rng.randn(2, 12, 14, ci), jnp.float32)
+        kh, kw = k if isinstance(k, tuple) else (k, k)
+        w = jnp.asarray(rng.randn(kh, kw, ci // g, co) * 0.2, jnp.float32)
+
+        def loss_custom(w_):
+            return jnp.sum(conv2d(x, w_, stride=s, padding=p, dilation=d,
+                                  groups=g) ** 2)
+
+        def loss_native(w_):
+            from esn_tpu.ops.convolution import _pair
+            return jnp.sum(_conv_raw(
+                x, w_, _pair(s),
+                tuple((pp, pp) for pp in _pair(p)), _pair(d), g) ** 2)
+
+        gc = jax.grad(loss_custom)(w)
+        gn = jax.grad(loss_native)(w)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gn),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"k={k} s={s} p={p} d={d} g={g}")
+        # dx parity too
+        gx_c = jax.grad(lambda x_: jnp.sum(conv2d(
+            x_, w, stride=s, padding=p, dilation=d, groups=g) ** 2))(x)
+        from esn_tpu.ops.convolution import _pair
+        gx_n = jax.grad(lambda x_: jnp.sum(_conv_raw(
+            x_, w, _pair(s), tuple((pp, pp) for pp in _pair(p)),
+            _pair(d), g) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_n),
+                                   rtol=2e-4, atol=2e-4)
