@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _valid_mask(labels: jnp.ndarray, num_classes: int,
@@ -35,17 +36,38 @@ def _safe_labels(labels, num_classes, valid):
 
 def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
                   ignore_index: int, label_smoothing: float = 0.0):
-    """Returns (ce, weight-lookup labels, valid mask); ce is fp32 per pixel."""
-    logits = logits.astype(jnp.float32)
+    """Returns (ce, weight-lookup labels, valid mask); ce is fp32 per pixel.
+
+    Formulated WITHOUT gathers or a materialized log_softmax:
+    ``nll = logsumexp(logits) - logits[true]`` where the true-class pick is a
+    one-hot masked reduction. A minor-axis ``take_along_axis`` plus full
+    ``log_softmax`` costs ~290 ms at (8,1024,2048,19) on v5e (measured —
+    tools/bench_fwd_bisect.py, 17x the entire model forward); the fused
+    iota-compare reductions below are single passes over the logits.
+    """
+    logits32 = logits.astype(jnp.float32)
     valid = _valid_mask(labels, num_classes, ignore_index)
     safe = _safe_labels(labels, num_classes, valid)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    onehot = (lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+              == safe[..., None])
+    lse = jax.scipy.special.logsumexp(logits32, axis=-1)
+    true_logit = jnp.sum(jnp.where(onehot, logits32, 0.0), axis=-1)
+    nll = lse - true_logit
     if label_smoothing > 0.0:
         eps = label_smoothing
-        # (1-eps)*nll_true + eps * mean over classes of nll_c
-        nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
+        # mean over classes of -logp_c == lse - mean(logits)
+        nll = (1.0 - eps) * nll + eps * (lse - jnp.mean(logits32, axis=-1))
     return nll, safe, valid
+
+
+def _weights_at(class_weights: jnp.ndarray, safe: jnp.ndarray,
+                num_classes: int) -> jnp.ndarray:
+    """Per-pixel class-weight lookup as a one-hot contraction (gather-free)."""
+    cw = class_weights.astype(jnp.float32)
+    onehot = (lax.broadcasted_iota(jnp.int32, safe.shape + (num_classes,),
+                                   safe.ndim)
+              == safe[..., None])
+    return jnp.sum(jnp.where(onehot, cw, 0.0), axis=-1)
 
 
 def cross_entropy(logits, labels, *, num_classes: int,
@@ -57,7 +79,7 @@ def cross_entropy(logits, labels, *, num_classes: int,
     nll, safe, valid = _per_pixel_ce(logits, labels, num_classes,
                                      ignore_index, label_smoothing)
     if class_weights is not None:
-        w = class_weights.astype(jnp.float32)[safe]
+        w = _weights_at(class_weights, safe, num_classes)
     else:
         w = jnp.ones_like(nll)
     w = w * valid.astype(jnp.float32)
@@ -82,8 +104,8 @@ def ohem_cross_entropy(logits, labels, *, num_classes: int,
     min_kept = int(min(min_kept, total))
 
     nll, safe, valid = _per_pixel_ce(logits, labels, num_classes, ignore_index)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    p_true = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    # p_true = exp(-nll): no softmax materialization, no gather
+    p_true = jnp.exp(-nll)
     # invalid pixels can never be "hard": give them prob 2.0 (> any real prob)
     p_true = jnp.where(valid, p_true, 2.0).reshape(-1)
 
@@ -94,7 +116,7 @@ def ohem_cross_entropy(logits, labels, *, num_classes: int,
 
     nll = nll.reshape(-1)
     if class_weights is not None:
-        w = class_weights.astype(jnp.float32)[safe.reshape(-1)]
+        w = _weights_at(class_weights, safe.reshape(-1), num_classes)
     else:
         w = jnp.ones_like(nll)
     w = w * kept.astype(jnp.float32)
@@ -109,7 +131,7 @@ def focal_loss(logits, labels, *, num_classes: int,
     p_true = jnp.exp(-nll)
     focal = jnp.power(1.0 - p_true, gamma) * nll
     if class_weights is not None:
-        w = class_weights.astype(jnp.float32)[safe]
+        w = _weights_at(class_weights, safe, num_classes)
     else:
         w = jnp.ones_like(focal)
     w = w * valid.astype(jnp.float32)
