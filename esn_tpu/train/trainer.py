@@ -67,6 +67,7 @@ class TrainConfig:
     synthetic_hw: Optional[Tuple[int, int]] = None  # shrink synthetic source
     profile_dir: str = ""       # capture a profiler trace of epoch 1 steps
     remat: bool = False         # rematerialize fwd in bwd (full-res memory)
+    spatial: int = 1            # shard image H over a 'model' mesh axis
 
     @property
     def run_dir(self) -> str:
@@ -114,14 +115,32 @@ class Trainer:
         self.tx = build_optimizer(cfg.optim, self.schedule,
                                   weight_decay=cfg.weight_decay)
 
-        # mesh + steps: use the most devices that divide the global batch
+        # mesh + steps: use the most devices that divide the global batch;
+        # with spatial>1, devices split into (data, model) and image height
+        # is sharded over 'model' (SURVEY §5 — the vision analogue of
+        # sequence parallelism; XLA SPMD inserts the conv halo exchanges)
         n_dev = jax.device_count()
-        usable = max(k for k in range(1, n_dev + 1)
-                     if cfg.batch_size % k == 0)
-        if usable != n_dev:
-            print(f"[esn_tpu.train] batch_size {cfg.batch_size} not divisible "
-                  f"by {n_dev} devices; data-parallel over {usable}")
-        self.mesh = meshlib.make_mesh(jax.devices()[:usable])
+        if cfg.spatial > 1:
+            from ..parallel import spatial as splib
+            splib.check_spatial_config(cfg.input_size, cfg.spatial)
+            assert n_dev % cfg.spatial == 0, \
+                f"{n_dev} devices not divisible by spatial={cfg.spatial}"
+            avail = n_dev // cfg.spatial
+            n_data = max(k for k in range(1, avail + 1)
+                         if cfg.batch_size % k == 0)
+            self.mesh = splib.make_spatial_mesh(n_data, cfg.spatial)
+            self._shard_train_batch = lambda b: splib.shard_batch_spatial(
+                b, self.mesh)
+        else:
+            usable = max(k for k in range(1, n_dev + 1)
+                         if cfg.batch_size % k == 0)
+            if usable != n_dev:
+                print(f"[esn_tpu.train] batch_size {cfg.batch_size} not "
+                      f"divisible by {n_dev} devices; data-parallel over "
+                      f"{usable}")
+            self.mesh = meshlib.make_mesh(jax.devices()[:usable])
+            self._shard_train_batch = lambda b: meshlib.shard_batch(
+                b, self.mesh)
         compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
             else jnp.float32
         self.train_step = make_train_step(
@@ -179,16 +198,14 @@ class Trainer:
         self.train_loader.set_epoch(epoch)
         rng = jax.random.PRNGKey(cfg.seed * 1000003 + epoch)
         losses, lr = [], 0.0
-        sharding = meshlib.batch_sharding(self.mesh)
         do_trace = bool(cfg.profile_dir) and epoch == self.start_epoch
         with profiling.trace(cfg.profile_dir if do_trace else None):
             for i, batch in enumerate(self.train_loader):
                 with self._step_timer.step():
                     aug_rng = jax.random.fold_in(rng, i)
-                    images = jax.device_put(batch["image"], sharding)
-                    labels = jax.device_put(
-                        batch["label"],
-                        meshlib.batch_sharding(self.mesh, ndim=3))
+                    sharded = self._shard_train_batch(
+                        {"image": batch["image"], "label": batch["label"]})
+                    images, labels = sharded["image"], sharded["label"]
                     with profiling.annotate("augment"):
                         x, y = self.augment(aug_rng, images, labels)
                     with profiling.annotate("train_step"):
