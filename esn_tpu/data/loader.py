@@ -67,17 +67,21 @@ def _stack(items):
 
 
 def device_prefetch(iterator, *, size: int = 2, sharding=None,
-                    device_keys=("image", "label")):
+                    device_keys=("image", "label"), put_fn=None):
     """Double-buffer batches onto the device (optionally sharded).
 
     Non-array fields (names) pass through on host. ``size=2`` is the classic
     compute/transfer overlap; larger only helps very jittery loaders.
+    ``put_fn`` overrides the transfer entirely (batch -> device batch) — used
+    by the Trainer to apply per-key mesh shardings off the critical path.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err_holder = []
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         out = dict(batch)
         for k in device_keys:
             if k in out and isinstance(out[k], np.ndarray):

@@ -199,13 +199,17 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed * 1000003 + epoch)
         losses, lr = [], 0.0
         do_trace = bool(cfg.profile_dir) and epoch == self.start_epoch
+        # host decode + device transfer run one batch ahead of compute
+        from ..data.loader import device_prefetch
+        batches = device_prefetch(
+            iter(self.train_loader), size=2,
+            put_fn=lambda b: self._shard_train_batch(
+                {"image": b["image"], "label": b["label"]}))
         with profiling.trace(cfg.profile_dir if do_trace else None):
-            for i, batch in enumerate(self.train_loader):
+            for i, batch in enumerate(batches):
                 with self._step_timer.step():
                     aug_rng = jax.random.fold_in(rng, i)
-                    sharded = self._shard_train_batch(
-                        {"image": batch["image"], "label": batch["label"]})
-                    images, labels = sharded["image"], sharded["label"]
+                    images, labels = batch["image"], batch["label"]
                     with profiling.annotate("augment"):
                         x, y = self.augment(aug_rng, images, labels)
                     with profiling.annotate("train_step"):

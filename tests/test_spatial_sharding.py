@@ -81,3 +81,16 @@ def test_spatial_train_step_matches_unsharded(rng):
     assert losses_b[0] == pytest.approx(losses_a[0], rel=1e-5)
     assert losses_b[1] == pytest.approx(losses_a[1], rel=5e-3)
     assert losses_b[1] < losses_b[0]  # sharded run descends
+
+
+def test_trainer_with_spatial_mesh(tmp_path):
+    """Trainer(--spatial 2) builds a (data, model) mesh and trains a step."""
+    from esn_tpu.train.trainer import TrainConfig, Trainer
+    cfg = TrainConfig(model="FastSCNN", dataset="camvid",
+                      input_size=(128, 128), max_epochs=1, batch_size=4,
+                      val_epochs=1, savedir=str(tmp_path), synthetic_len=4,
+                      synthetic_hw=(256, 256), num_workers=0, spatial=2)
+    tr = Trainer(cfg)
+    assert dict(tr.mesh.shape) == {"data": 4, "model": 2}
+    loss, _ = tr.train_epoch(0)
+    assert loss == loss  # finite

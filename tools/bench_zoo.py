@@ -1,0 +1,86 @@
+"""Zoo-wide inference benchmark: every model at 2048x1024 bf16 on one chip.
+
+Slope-timed (see tools/README.md). Tries batch 16 first, halving on failure
+(memory). Writes a markdown table to stdout and zoo_bench.json.
+
+Run: ``python -m tools.bench_zoo [--size 1024,2048] [--models a,b,c]``
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from esn_tpu import nn
+from esn_tpu.models import build_model
+from esn_tpu.models import available_models
+
+
+def slope_time(model, variables, x, lo=4, hi=12):
+    def mk(iters):
+        @jax.jit
+        def run(v, xx):
+            def body(i, carry):
+                acc, x_ = carry
+                x_ = x_ * (1.0 + 1e-12 * i)
+                pred = jnp.argmax(nn.apply(model, v, x_), -1)
+                return acc + jnp.sum(pred, dtype=jnp.int32), x_
+            return lax.fori_loop(0, iters, body, (jnp.int32(0), xx))[0]
+        return run
+    ts = {}
+    for it in (lo, hi):
+        r = mk(it)
+        jax.device_get(r(variables, x))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(r(variables, x))
+            best = min(best, time.perf_counter() - t0)
+        ts[it] = best
+    return (ts[hi] - ts[lo]) / (hi - lo)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="1024,2048")
+    p.add_argument("--models", default=",".join(available_models()))
+    p.add_argument("--classes", type=int, default=19)
+    args = p.parse_args()
+    h, w = (int(v) for v in args.size.split(","))
+
+    rows = []
+    for name in args.models.split(","):
+        model = build_model(name, args.classes)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 128, 128, 3), jnp.float32))
+        result = None
+        for batch in (16, 8, 4, 2, 1):
+            x = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 3),
+                                  jnp.bfloat16)
+            try:
+                dt = slope_time(model, variables, x)
+                result = (batch, batch / dt)
+                break
+            except Exception as e:  # noqa: BLE001 (OOM and relay faults)
+                print(f"  {name} b{batch} failed: "
+                      f"{str(e).splitlines()[0][:80]}", flush=True)
+        rows.append({"model": name, "batch": result[0] if result else None,
+                     "img_per_s": round(result[1], 1) if result else None})
+        print(f"{name:12s} "
+              + (f"b{result[0]:2d}  {result[1]:7.1f} img/s" if result
+                 else "FAILED"), flush=True)
+
+    with open("zoo_bench.json", "w") as f:
+        json.dump({"size": [h, w], "dtype": "bfloat16",
+                   "device": str(jax.devices()[0]), "rows": rows}, f,
+                  indent=1)
+    print("| model | batch | img/s/chip |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['model']} | {r['batch']} | {r['img_per_s']} |")
+
+
+if __name__ == "__main__":
+    main()
