@@ -154,8 +154,10 @@ class NativePipeline:
     """
 
     def __init__(self, records: Sequence[Tuple[str, Optional[str]]],
-                 target_hw: Tuple[int, int], *, threads: int = 4,
+                 target_hw: Tuple[int, int], *, threads: Optional[int] = None,
                  capacity: int = 16):
+        if threads is None:  # decode threads scale with host cores
+            threads = max(1, min(8, os.cpu_count() or 1))
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable")
