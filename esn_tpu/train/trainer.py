@@ -82,7 +82,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
         self.spec = get_spec(cfg.dataset)
-        np.random.seed(cfg.seed)
+        from ..utils.seed import setup_seed
+        setup_seed(cfg.seed)
 
         # data
         (self.datas, self.train_loader, self.val_loader, self.augment,
