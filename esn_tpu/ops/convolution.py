@@ -70,9 +70,11 @@ def _conv_bwd(stride, padding, dilation, groups, res, gy):
     (dx,) = vjp_x(gy)
 
     kh, kw = kernel.shape[:2]
-    if groups != 1 or kh * kw > 25:
+    if groups != 1 or kh * kw > 25 or x.shape[-1] < 8:
         # depthwise/grouped: XLA's native dW is fine (measured); huge kernels:
-        # tap-loop trace cost outweighs the win
+        # tap-loop trace cost outweighs the win; tiny c_in (the RGB stem):
+        # the taps' pad+reshape costs more than native (measured 40 vs 13 ms
+        # at the zoo's full-res stride-2 stem — tools/bench_stem_dw.py)
         _, vjp_w = jax.vjp(
             lambda w_: _conv_raw(x, w_, stride, padding, dilation, groups),
             kernel)
@@ -82,18 +84,41 @@ def _conv_bwd(stride, padding, dilation, groups, res, gy):
     (ph0, ph1), (pw0, pw1) = padding
     sh, sw = stride
     dh, dw_ = dilation
-    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
     n, ho, wo = gy.shape[:3]
+    c_in = x.shape[-1]
+
+    if sh <= 2 and sw <= 2:
+        # Strided slices materialize (33 ms/step for the zoo's full-res
+        # stride-2 stem — profiled); decompose each axis by stride parity
+        # with a free reshape so every tap is a unit-stride, fusable slice.
+        # rows/cols the taps touch, rounded up to a stride multiple
+        hp = -(-((kh - 1) * dh + ho * sh) // sh) * sh
+        wp = -(-((kw - 1) * dw_ + wo * sw) // sw) * sw
+        eh = max(hp - (x.shape[1] + ph0 + ph1), 0)
+        ew = max(wp - (x.shape[2] + pw0 + pw1), 0)
+        xp = jnp.pad(x, ((0, 0), (ph0, ph1 + eh), (pw0, pw1 + ew), (0, 0)))
+        xp = xp[:, :hp, :wp, :]
+        xr = xp.reshape(n, hp // sh, sh, wp // sw, sw, c_in)
+
+        def tap(ki, kj):
+            r0, c0 = ki * dh, kj * dw_
+            return xr[:, r0 // sh:r0 // sh + ho, r0 % sh,
+                      c0 // sw:c0 // sw + wo, c0 % sw, :]
+    else:
+        xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+
+        def tap(ki, kj):
+            r0, c0 = ki * dh, kj * dw_
+            rows = lax.slice_in_dim(xp, r0, r0 + (ho - 1) * sh + 1, sh,
+                                    axis=1)
+            return lax.slice_in_dim(rows, c0, c0 + (wo - 1) * sw + 1, sw,
+                                    axis=2)
+
     taps = []
     for ki in range(kh):
-        r0 = ki * dh
-        rows = lax.slice_in_dim(xp, r0, r0 + (ho - 1) * sh + 1, sh, axis=1)
         for kj in range(kw):
-            c0 = kj * dw_
-            tap = lax.slice_in_dim(rows, c0, c0 + (wo - 1) * sw + 1, sw,
-                                   axis=2)
             taps.append(jnp.einsum(
-                "nhwc,nhwd->cd", tap, gy,
+                "nhwc,nhwd->cd", tap(ki, kj), gy,
                 preferred_element_type=jnp.float32))
     dw = jnp.stack(taps).reshape(kh, kw, *taps[0].shape)
     return dx, dw.astype(kernel.dtype)
