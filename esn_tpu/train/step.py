@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from .. import nn
+from ..ops import argmax_lastdim
 from .metrics import confusion_matrix
 from .state import TrainState
 
@@ -134,7 +135,7 @@ def make_eval_step(model: nn.Module, num_classes: int, *,
     def eval_step(variables, batch):
         logits = nn.apply(model, variables,
                           batch["image"].astype(compute_dtype), train=False)
-        pred = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        pred = argmax_lastdim(logits.astype(jnp.float32))
         cm = confusion_matrix(pred, batch["label"], num_classes, ignore_index)
         return pred, cm
 
@@ -152,6 +153,6 @@ def make_predict_step(model: nn.Module, *, compute_dtype=jnp.float32,
                           train=False)
         if output_size is not None:
             logits = resize_bilinear(logits.astype(jnp.float32), output_size)
-        return jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        return argmax_lastdim(logits.astype(jnp.float32))
 
     return predict

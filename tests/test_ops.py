@@ -124,3 +124,17 @@ def test_conv2d_custom_weight_grad_matches_native(rng):
             _pair(d), g) ** 2))(x)
         np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_n),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_argmax_lastdim_matches_jnp(rng):
+    from esn_tpu.ops import argmax_lastdim
+    x = jnp.asarray(rng.randn(3, 5, 7, 19), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(argmax_lastdim(x)),
+                                  np.argmax(np.asarray(x), -1))
+    # ties resolve to the FIRST max, like jnp.argmax
+    t = jnp.asarray([[1.0, 3.0, 3.0, 0.0], [2.0, 2.0, 1.0, 2.0]])
+    np.testing.assert_array_equal(np.asarray(argmax_lastdim(t)), [1, 0])
+    # bf16 input
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(argmax_lastdim(xb)),
+                                  np.argmax(np.asarray(xb, np.float32), -1))
