@@ -33,7 +33,7 @@ BASELINES_FPS = {  # reference fps @ 2048x1024 (BASELINE.md; paper-reported)
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fastscnn")
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
     p.add_argument("--size", default="1024,2048")
     p.add_argument("--iters_lo", type=int, default=6)
