@@ -115,8 +115,17 @@ def main(argv=None):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = best_time(args.iters_lo), best_time(args.iters_hi)
-    dt_per_iter = (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
+    lo, hi = args.iters_lo, args.iters_hi
+    t_lo, t_hi = best_time(lo), best_time(hi)
+    if t_hi <= t_lo:  # relay jitter swamped the work delta: widen the lever
+        lo, hi = lo, hi * 4
+        t_lo, t_hi = best_time(lo), best_time(hi)
+    if t_hi <= t_lo:
+        print(json.dumps({"metric": "error", "value": None,
+                          "unit": "images/sec/chip", "vs_baseline": None,
+                          "note": "non-monotonic timing; relay too noisy"}))
+        return 1
+    dt_per_iter = (t_hi - t_lo) / (hi - lo)
 
     ips = args.batch / dt_per_iter
     # the reference publishes inference fps only; train mode has no baseline

@@ -78,6 +78,7 @@ def device_prefetch(iterator, *, size: int = 2, sharding=None,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err_holder = []
+    stop = threading.Event()
 
     def put(batch):
         if put_fn is not None:
@@ -89,21 +90,42 @@ def device_prefetch(iterator, *, size: int = 2, sharding=None,
                     else jax.device_put(out[k])
         return out
 
+    def enqueue(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not enqueue(put(batch)):
+                    return  # consumer gone: drop device refs, exit cleanly
         except BaseException as e:  # propagate into consumer
             err_holder.append(e)
         finally:
-            q.put(sentinel)
+            enqueue(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err_holder:
-                raise err_holder[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err_holder:
+                    raise err_holder[0]
+                return
+            yield item
+    finally:
+        # consumer abandoned mid-epoch (exception/GeneratorExit): unblock and
+        # retire the producer so queued device batches are released
+        stop.set()
+        while True:  # drain whatever the producer managed to enqueue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

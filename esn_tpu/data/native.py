@@ -22,6 +22,7 @@ _NATIVE_DIR = os.path.join(_REPO, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libesn_native.so")
 
 _lib = None
+_lib_failed = False  # remember dlopen/build failure: don't retry per item
 _lib_lock = threading.Lock()
 _build_attempted = False
 
@@ -41,23 +42,27 @@ def _try_build() -> bool:
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True, timeout=120)
-        return os.path.exists(_LIB_PATH)
     except (OSError, subprocess.SubprocessError):
-        return False
+        pass  # no toolchain: a stale-but-working .so still beats cv2
+    return os.path.exists(_LIB_PATH)
 
 
 def _load():
-    global _lib
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            return None
         if os.environ.get("ESN_TPU_NATIVE", "auto").lower() in ("0", "off"):
             return None
         if not _try_build():
+            _lib_failed = True
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
+            _lib_failed = True
             return None
         lib.esn_image_info.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),

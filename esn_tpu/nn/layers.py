@@ -97,14 +97,17 @@ class BatchNorm(Module):
         run_mean = scope.stat("mean", init.zeros, (c,))
         run_var = scope.stat("var", init.ones, (c,))
         if scope.train and not scope.is_init:
-            # one-pass moments: E[x] and E[x^2] are two reductions over the
-            # SAME input, which XLA computes in a single fused sweep; the
+            # one-pass moments: E[x-c] and E[(x-c)^2] are two reductions over
+            # the SAME input, which XLA computes in a single fused sweep; the
             # textbook E[(x-mean)^2] forces a second full pass (mean is an
-            # input to it). Squares accumulate in fp32 (convert fuses in).
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            # input to it). Centering on c = running mean (a constant wrt the
+            # sweep) keeps the shifted-moment subtraction cancellation-free:
+            # once rm tracks the batch mean, E[(x-c)^2] ~ var >> E[x-c]^2.
+            xf = x.astype(jnp.float32) - run_mean
+            d = jnp.mean(xf, axis=(0, 1, 2))
+            m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            mean = run_mean + d
+            var = jnp.maximum(m2 - jnp.square(d), 0.0)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum

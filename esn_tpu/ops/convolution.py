@@ -130,12 +130,20 @@ _conv_core.defvjp(_conv_fwd, _conv_bwd)
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
            stride: IntOr2 = 1, padding: IntOr2 = 0, dilation: IntOr2 = 1,
            groups: int = 1, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """2D convolution. x: NHWC, kernel: HWIO (I = in_channels // groups)."""
+    """2D convolution. x: NHWC, kernel: HWIO (I = in_channels // groups).
+
+    Reverse-mode grads use the custom weight-gradient VJP above. custom_vjp
+    functions reject forward-mode autodiff (jvp/jacfwd); set
+    ``ESN_TPU_CUSTOM_CONV_GRAD=0`` to fall back to XLA's native conv autodiff
+    when forward mode is needed (slower weight grads, full transform support).
+    """
+    import os
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    y = _conv_core(x, kernel, (sh, sw), ((ph, ph), (pw, pw)), (dh, dw),
-                   groups)
+    core = _conv_core if os.environ.get(
+        "ESN_TPU_CUSTOM_CONV_GRAD", "1") != "0" else _conv_raw
+    y = core(x, kernel, (sh, sw), ((ph, ph), (pw, pw)), (dh, dw), groups)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

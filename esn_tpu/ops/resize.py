@@ -34,18 +34,3 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     return resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
 
-
-def argmax_lastdim(x):
-    """Class-axis argmax — the zoo's single prediction hook.
-
-    Centralized because the lowering is perf-sensitive: XLA can fuse the
-    argmax's PRODUCER into the variadic reduce and recompute it per class
-    (measured 127 ms on (8,1024,2048,19) after an ESPNet decoder — half the
-    inference step — vs 2.6 ms for the bare op; tools/bench_argmax.py and
-    tools/profile_infer.py). An ``optimization_barrier`` fence fixes ESPNet
-    (+10%) but forfeits the upsample+argmax fusion that makes Fast-SCNN
-    fastest (-5%), so the default stays plain ``jnp.argmax``; revisit with a
-    producer-cost-aware fence if the ESP family becomes the headline.
-    """
-    import jax.numpy as jnp
-    return jnp.argmax(x, axis=-1).astype(jnp.int32)

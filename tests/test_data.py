@@ -165,3 +165,23 @@ def test_manifest_parsing(tmp_path):
     assert item["image"].shape == (8, 8, 3)
     assert item["label"].shape == (8, 8)
     assert "label" not in ds[1]
+
+
+def test_device_prefetch_consumer_abandons():
+    """Abandoning the generator mid-epoch must retire the producer thread."""
+    import threading
+    from esn_tpu.data.loader import device_prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"image": np.zeros((1, 4, 4, 3), np.float32)}
+
+    before = threading.active_count()
+    it = device_prefetch(gen(), size=2)
+    next(it)
+    it.close()  # GeneratorExit -> finally must stop + join the worker
+    assert threading.active_count() <= before + 1
+    assert len(produced) < 100  # producer did not run to completion

@@ -93,6 +93,7 @@ def test_conv2d_custom_weight_grad_matches_native(rng):
             ((3, 3), 2, 1, 1, 1, 6, 8),
             ((3, 1), 1, (1, 0), 1, 1, 5, 7),
             ((3, 3), 1, 2, 2, 1, 4, 4),      # dilated
+            ((3, 3), 2, 2, 2, 1, 4, 4),      # dilated + strided
             ((5, 5), 2, 2, 1, 1, 3, 8),
             ((3, 3), 1, 1, 1, 4, 8, 8),      # grouped (native path)
     ]:

@@ -27,7 +27,7 @@ def _mats(rng, n, h, w, ci, co, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("stride", [1, 2])
-@pytest.mark.parametrize("hw", [(16, 16), (10, 14)])
+@pytest.mark.parametrize("hw", [(16, 16), (10, 14), (9, 15)])
 def test_dsconv_interpret_matches_ref(rng, stride, hw):
     h, w = hw
     args = _mats(rng, 2, h, w, 8, 16)
