@@ -57,7 +57,7 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 128, 3), jnp.float32))
         result = None
-        for batch in (16, 8, 4, 2, 1):
+        for batch in (64, 32, 16, 8, 4, 2, 1):
             x = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 3),
                                   jnp.bfloat16)
             try:
