@@ -105,3 +105,43 @@ def load_params_only(path: str, target_variables):
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(target_variables, payload)
+
+
+def load_encoder(path: str, variables, subtree: str = "enc"):
+    """Graft a pretrained sub-model checkpoint into ``variables[*][subtree]``.
+
+    Reference counterpart: ESPNet's two-stage recipe — train ESPNet-C, then
+    construct ESPNet with ``encoderFile=...`` so the decoder trains on top of
+    the frozen-format encoder weights [R: model/ESPNet.py ESPNet.__init__].
+    The donor checkpoint's param/stat tree must be a superset of the
+    ``subtree`` slice (extra donor leaves — e.g. the C-classifier head — are
+    ignored).
+    """
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    sd = payload["state"]
+
+    def graft(dst, src, what):
+        out = {}
+        for k, v in dst.items():
+            if k not in src:
+                raise KeyError(f"encoder checkpoint missing {what}/{k}")
+            if isinstance(v, dict):
+                out[k] = graft(v, src[k], f"{what}/{k}")
+            else:
+                a = np.asarray(src[k])
+                if a.shape != v.shape:
+                    raise ValueError(
+                        f"{what}/{k}: donor {a.shape} != target {v.shape}")
+                out[k] = a.astype(v.dtype) if hasattr(v, "dtype") else a
+        return out
+
+    new = {
+        "params": dict(variables["params"]),
+        "stats": dict(variables["stats"]),
+    }
+    new["params"][subtree] = graft(
+        variables["params"][subtree], sd["params"], f"params[{subtree}]")
+    new["stats"][subtree] = graft(
+        variables["stats"][subtree], sd["stats"], f"stats[{subtree}]")
+    return new, dict(payload.get("meta", {}))

@@ -68,6 +68,7 @@ class TrainConfig:
     profile_dir: str = ""       # capture a profiler trace of epoch 1 steps
     remat: bool = False         # rematerialize fwd in bwd (full-res memory)
     spatial: int = 1            # shard image H over a 'model' mesh axis
+    encoder_checkpoint: str = ""  # graft a pretrained encoder (ESPNet stage 2)
 
     @property
     def run_dir(self) -> str:
@@ -99,6 +100,11 @@ class Trainer:
         h, w = cfg.input_size
         sample = jnp.zeros((1, h, w, 3), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(cfg.seed), sample)
+        if cfg.encoder_checkpoint:
+            # two-stage recipe (reference ESPNet encoderFile [R]): pretrain
+            # the encoder model, then train the full net on top of it
+            variables, _ = ckpt.load_encoder(cfg.encoder_checkpoint,
+                                             variables)
         self.n_params = count_params(variables)
 
         # loss / schedule / optimizer

@@ -116,3 +116,45 @@ def test_cli_train_test_predict(tmp_path, monkeypatch):
     assert rc == 0
     preds = os.listdir(str(tmp_path / "preds"))
     assert any(p.endswith("_color.png") for p in preds)
+
+
+def test_espnet_two_stage_encoder_graft(tmp_path):
+    """Reference ESPNet recipe: pretrain ESPNet-C, graft into full ESPNet."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from esn_tpu.models import build_model
+    from esn_tpu.train import checkpoint as ckpt
+    from esn_tpu.train.optimizers import build_optimizer
+    from esn_tpu.train.state import TrainState
+
+    enc = build_model("espnet_c", 11)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v_enc = enc.init(jax.random.PRNGKey(7), x)
+    tx = build_optimizer("adam", 1e-3)
+    path = ckpt.save_checkpoint(str(tmp_path), 1, TrainState.create(v_enc, tx))
+
+    full = build_model("espnet", 11)
+    v_full = full.init(jax.random.PRNGKey(0), x)
+    grafted, _ = ckpt.load_encoder(path, v_full)
+
+    donor_leaf = jax.tree_util.tree_leaves(v_enc["params"])[0]
+    grafted_leaf = jax.tree_util.tree_leaves(grafted["params"]["enc"])[0]
+    np.testing.assert_array_equal(np.asarray(donor_leaf),
+                                  np.asarray(grafted_leaf))
+    # full forward still runs with the grafted tree
+    from esn_tpu import nn
+    out = nn.apply(full, grafted, x, train=False)
+    assert out.shape == (1, 64, 96, 11)
+
+    # trainer path: --encoder_checkpoint wires through config
+    from esn_tpu.train.trainer import TrainConfig, Trainer
+    cfg = TrainConfig(model="ESPNet", dataset="camvid", input_size=(64, 96),
+                      max_epochs=1, batch_size=2, val_epochs=1,
+                      savedir=str(tmp_path / "s2"), synthetic_len=2,
+                      synthetic_hw=(64, 96), num_workers=0,
+                      encoder_checkpoint=path)
+    tr = Trainer(cfg)
+    got = jax.tree_util.tree_leaves(
+        jax.device_get(tr.state.params["enc"]))[0]
+    np.testing.assert_array_equal(np.asarray(donor_leaf), got)

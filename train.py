@@ -58,6 +58,8 @@ def parse_args(argv=None):
                    help="rematerialize forward in backward (full-res memory)")
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height over N devices (full-res training)")
+    p.add_argument("--encoder_checkpoint", default="",
+                   help="pretrained encoder ckpt (ESPNet two-stage training)")
     p.add_argument("--cuda", type=bool, default=True,
                    help="[compat] ignored; devices come from the JAX mesh")
     p.add_argument("--gpus", default="0",
@@ -98,7 +100,8 @@ def config_from_args(args):
         savedir=args.savedir, log_file=args.logFile, seed=args.seed,
         val_epochs=args.val_epochs, compute_dtype=dtype,
         grad_accum=args.grad_accum, synthetic_len=args.synthetic_len,
-        profile_dir=args.profile_dir, remat=args.remat, spatial=args.spatial)
+        profile_dir=args.profile_dir, remat=args.remat, spatial=args.spatial,
+        encoder_checkpoint=args.encoder_checkpoint)
     if args.synthetic_hw:
         kw["synthetic_hw"] = tuple(
             int(v) for v in str(args.synthetic_hw).replace("x", ",").split(","))
