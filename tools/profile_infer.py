@@ -16,7 +16,9 @@ name = sys.argv[1] if len(sys.argv) > 1 else "espnet"
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 model = build_model(name, 19)
 v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32))
-x = jax.random.normal(jax.random.PRNGKey(1), (batch, 1024, 2048, 3), jnp.bfloat16)
+import os
+hw = (int(os.environ.get("PH", 1024)), int(os.environ.get("PW", 2048)))
+x = jax.random.normal(jax.random.PRNGKey(1), (batch, *hw, 3), jnp.bfloat16)
 
 @jax.jit
 def fwd(v, x):

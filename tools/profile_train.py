@@ -17,13 +17,14 @@ from esn_tpu.train.optimizers import build_optimizer
 from esn_tpu.train.state import TrainState
 from esn_tpu.train.step import make_train_step
 
-model = build_model("fastscnn", 19)
+import sys
+model = build_model(sys.argv[1] if len(sys.argv) > 1 else "fastscnn", 19)
 v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32))
 tx = build_optimizer("adam", 1e-3)
 step = make_train_step(model, lambda lg, lb: cross_entropy(lg, lb, num_classes=19),
                        tx, compute_dtype=jnp.bfloat16, donate=False)
 state = TrainState.create(v, tx)
-B, H, W = 8, 1024, 2048
+B, H, W = 8, int(sys.argv[2]) if len(sys.argv) > 2 else 1024, int(sys.argv[3]) if len(sys.argv) > 3 else 2048
 batch = {"image": jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.bfloat16),
          "label": jax.random.randint(jax.random.PRNGKey(2), (B, H, W), 0, 19)}
 key = jax.random.PRNGKey(3)
