@@ -94,3 +94,35 @@ def test_trainer_with_spatial_mesh(tmp_path):
     assert dict(tr.mesh.shape) == {"data": 4, "model": 2}
     loss, _ = tr.train_epoch(0)
     assert loss == loss  # finite
+
+
+@pytest.mark.parametrize("name", ["segnet", "espnet", "cgnet", "lednet"])
+def test_zoo_families_data_parallel_step(name):
+    """Representative block families (unpool / multi-branch HFF / GAP gate /
+    channel shuffle) through the jitted DP train step on the 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from esn_tpu.models import build_model
+    from esn_tpu.parallel import mesh as meshlib
+    from esn_tpu.train.losses import cross_entropy
+    from esn_tpu.train.optimizers import build_optimizer
+    from esn_tpu.train.state import TrainState
+    from esn_tpu.train.step import make_train_step
+
+    model = build_model(name, 11)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tx = build_optimizer("sgd", 1e-2)
+    step = make_train_step(
+        model, lambda lg, lb: cross_entropy(lg, lb, num_classes=11), tx,
+        donate=False)
+
+    mesh = meshlib.make_mesh(jax.devices())
+    state = meshlib.replicate(TrainState.create(variables, tx), mesh)
+    rng = np.random.RandomState(0)
+    batch = meshlib.shard_batch(
+        {"image": rng.rand(8, 64, 64, 3).astype(np.float32),
+         "label": rng.randint(0, 11, (8, 64, 64)).astype(np.int32)}, mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
