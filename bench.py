@@ -72,7 +72,8 @@ def main(argv=None):
                     acc, xx = carry
                     xx = xx * (1.0 + 1e-12 * i)  # defeat CSE/hoisting
                     from esn_tpu.ops import argmax_lastdim
-                    pred = argmax_lastdim(nn.apply(model, v, xx))
+                    pred = argmax_lastdim(nn.apply(model, v, xx),
+                                          tail=model.LOGITS_TAIL)
                     return acc + jnp.sum(pred, dtype=jnp.int32), xx
                 acc, _ = lax.fori_loop(0, iters, body, (jnp.int32(0), x))
                 return acc

@@ -75,6 +75,7 @@ class CGBlockDown(nn.Module):
 
 @register("cgnet", "context_guided_network")
 class CGNet(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3, m: int = 3,
                  n: int = 21, dropout: float = 0.0):
         self.stem = nn.Sequential(

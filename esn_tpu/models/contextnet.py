@@ -79,6 +79,7 @@ class FusionModule(nn.Module):
 
 @register("contextnet", "context_net")
 class ContextNet(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3):
         self.classes = classes
         self.shallow = ShallowNet(in_ch)

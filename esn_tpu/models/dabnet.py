@@ -71,6 +71,7 @@ class DownSamplingBlock(nn.Module):
 
 @register("dabnet")
 class DABNet(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3):
         self.stem = nn.Sequential(
             ConvBNAct(in_ch, 32, 3, stride=2, act="prelu", bn_eps=BN_EPS),

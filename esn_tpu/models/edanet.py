@@ -69,6 +69,7 @@ class EDAModule(nn.Module):
 
 @register("edanet")
 class EDANet(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3, growth: int = 40):
         self.down1 = DownsamplingBlock(in_ch, 15)
         self.down2 = DownsamplingBlock(15, 60)

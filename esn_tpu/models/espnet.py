@@ -60,6 +60,8 @@ class ESPModule(nn.Module):
 class ESPNetC(nn.Module):
     """Encoder-only variant with a 1x1 classifier (ESPNet-C [R])."""
 
+    LOGITS_TAIL = "resize"
+
     def __init__(self, classes: int = 19, in_ch: int = 3, alpha2: int = 2,
                  alpha3: int = 8):
         self.stem = ConvBNAct(in_ch, 16, 3, stride=2, act="prelu",

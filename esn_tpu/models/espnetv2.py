@@ -90,6 +90,7 @@ class StridedEESP(nn.Module):
 
 @register("espnetv2", "espnet_v2", "eespnet_seg")
 class ESPNetV2Seg(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3,
                  chs=(32, 128, 256, 512), repeats=(3, 7, 3)):
         # default channel stack matches the reference's s=2.0 EESPNet [R]

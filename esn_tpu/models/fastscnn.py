@@ -90,6 +90,7 @@ class Classifier(nn.Module):
 
 @register("fastscnn", "fast_scnn", "fast-scnn")
 class FastSCNN(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3):
         self.classes = classes
         self.ltd = LearningToDownsample(in_ch)

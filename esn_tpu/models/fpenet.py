@@ -82,6 +82,7 @@ class MEU(nn.Module):
 
 @register("fpenet")
 class FPENet(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3, width: int = 16):
         w = width
         self.stem = ConvBNAct(in_ch, w, 3, stride=2, act="relu")     # 1/2

@@ -100,6 +100,7 @@ class APN(nn.Module):
 
 @register("lednet")
 class LEDNet(nn.Module):
+    LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3):
         enc = [DownsamplerConcat(in_ch, 32, act="relu", bn_eps=BN_EPS)]
         enc += [SSnbt(32, 1, 0.03) for _ in range(3)]

@@ -140,7 +140,13 @@ class Module:
 
     Modules are plain hyperparameter containers — all array state lives in
     the variables pytree, never on the module object.
+
+    ``LOGITS_TAIL`` tells prediction paths what produces a model's logits —
+    ``"resize"`` (bilinear-upsample tail) or ``"conv"`` — so
+    ``ops.argmax_lastdim`` can pick the faster lowering (see its docstring).
     """
+
+    LOGITS_TAIL = "conv"
 
     def __call__(self, scope: Scope, *args, **kwargs):  # pragma: no cover
         raise NotImplementedError

@@ -159,6 +159,76 @@ def _zero_insert(x: jnp.ndarray, sh: int, sw: int) -> jnp.ndarray:
     return y.reshape(n, h * sh, w * sw, c)
 
 
+def _subpixel_axis(K: int, s: int, p: int):
+    """Per-axis tap geometry for the subpixel convT decomposition.
+
+    In this module's convT convention (zero-insert + UNFLIPPED stride-1
+    correlation with pad K-1-p), phase r of the output satisfies
+    ``out[s*q + r] = sum_u x[q + (u + r + p - K + 1)//s] * w[u]`` over taps
+    ``u`` with ``(u + r + p - K + 1) % s == 0``.
+
+    Returns (first-tap-per-phase, input-offset-per-phase, dmin, dmax).
+    """
+    k0, d0 = [], []
+    dmin, dmax = 10 ** 9, -10 ** 9
+    for r in range(s):
+        u0 = (K - 1 - p - r) % s
+        assert u0 < K, "phase with zero taps (k < s geometry)"
+        n_taps = len(range(u0, K, s))
+        base = (u0 + r + p - K + 1) // s
+        k0.append(u0)
+        d0.append(base)
+        dmin = min(dmin, base)
+        dmax = max(dmax, base + n_taps - 1)
+    return k0, d0, dmin, dmax
+
+
+def conv2d_transpose_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                              stride: Tuple[int, int],
+                              padding: Tuple[int, int],
+                              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """ConvT(k, s) as ONE stride-1 conv to ``s*s*O`` channels at input
+    resolution + depth-to-space — the subpixel/pixel-shuffle decomposition.
+
+    Requires ``k + output_padding - 2p == s`` per axis (out == s*H), which
+    covers the zoo's two decoder geometries (k2s2p0 and k3s2p1op1). Wins
+    twice over zero-insertion: the matmul runs at LOW res with s^2-fat output
+    channels (dense MXU work instead of 3/4-zero taps), and a class-axis
+    argmax downstream no longer refuses a full-res conv as its producer
+    (ESPNet: 251 -> measured in tools/bench_convt_subpixel.py).
+    """
+    sh, sw = stride
+    ph, pw = padding
+    K_h, K_w, I, O = kernel.shape
+    k0h, d0h, dminh, dmaxh = _subpixel_axis(K_h, sh, ph)
+    k0w, d0w, dminw, dmaxw = _subpixel_axis(K_w, sw, pw)
+    Uh = dmaxh - dminh + 1
+    Uw = dmaxw - dminw + 1
+    assert dminh <= 0 and dminw <= 0, "unsupported convT geometry"
+    parts = []
+    for rh in range(sh):
+        for rw in range(sw):
+            sub = kernel[k0h[rh]::sh, k0w[rw]::sw]
+            oh = d0h[rh] - dminh
+            ow = d0w[rw] - dminw
+            sub = jnp.pad(sub, ((oh, Uh - oh - sub.shape[0]),
+                                (ow, Uw - ow - sub.shape[1]),
+                                (0, 0), (0, 0)))
+            parts.append(sub)
+    merged = jnp.concatenate(parts, axis=-1)  # (Uh, Uw, I, sh*sw*O)
+    pad = ((-dminh, dmaxh), (-dminw, dmaxw))
+    import os
+    core = _conv_core if os.environ.get(
+        "ESN_TPU_CUSTOM_CONV_GRAD", "1") != "0" else _conv_raw
+    y = core(x, merged, (1, 1), pad, (1, 1), 1)
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, sh, sw, O).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, h * sh, w * sw, O)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
                      stride: IntOr2 = 1, padding: IntOr2 = 0,
                      output_padding: IntOr2 = 0,
@@ -167,17 +237,25 @@ def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
     ``out = (H - 1)*s - 2p + k + output_padding``. x: NHWC, kernel: HWIO
     (I = in_channels, O = out_channels).
 
-    Implemented as explicit zero-insertion (reshape interleave) + a stride-1
-    conv rather than lax lhs_dilation: the reshape/pad/conv pipeline is
-    handled exactly by XLA's SPMD partitioner under spatial sharding, where
-    lhs-dilated convs with asymmetric padding miscompile (halo logic), and it
-    maps onto the MXU identically after fusion.
+    Default lowering is the subpixel decomposition (see
+    ``conv2d_transpose_subpixel``) whenever the geometry allows; otherwise
+    explicit zero-insertion (reshape interleave) + a stride-1 conv. Neither
+    uses lax lhs_dilation: lhs-dilated convs with asymmetric padding
+    miscompile under the SPMD spatial partitioner (halo logic).
+    Set ``ESN_TPU_SUBPIXEL_CONVT=0`` to force zero-insertion everywhere.
     """
+    import os
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
     assert oph < sh and opw < sw, "output_padding must be < stride"
+    if (os.environ.get("ESN_TPU_SUBPIXEL_CONVT", "1") != "0"
+            and (sh > 1 or sw > 1)
+            and kh + oph - 2 * ph == sh and kw + opw - 2 * pw == sw
+            and kh >= sh and kw >= sw):
+        return conv2d_transpose_subpixel(x, kernel, stride=(sh, sw),
+                                         padding=(ph, pw), bias=bias)
     y = _zero_insert(x, sh, sw)
     # zero-insertion appends (s-1) trailing zero rows/cols beyond the last
     # sample vs. pure lhs-dilation; fold them into the high-side padding

@@ -135,7 +135,9 @@ def make_eval_step(model: nn.Module, num_classes: int, *,
     def eval_step(variables, batch):
         logits = nn.apply(model, variables,
                           batch["image"].astype(compute_dtype), train=False)
-        pred = argmax_lastdim(logits.astype(jnp.float32))
+        # no f32 upcast before argmax: bf16->f32 is monotone and exact, so
+        # the result is identical and the cheaper bf16 lowering applies
+        pred = argmax_lastdim(logits, tail=model.LOGITS_TAIL)
         cm = confusion_matrix(pred, batch["label"], num_classes, ignore_index)
         return pred, cm
 
@@ -153,6 +155,7 @@ def make_predict_step(model: nn.Module, *, compute_dtype=jnp.float32,
                           train=False)
         if output_size is not None:
             logits = resize_bilinear(logits.astype(jnp.float32), output_size)
-        return argmax_lastdim(logits.astype(jnp.float32))
+            return argmax_lastdim(logits, tail="resize")
+        return argmax_lastdim(logits, tail=model.LOGITS_TAIL)
 
     return predict

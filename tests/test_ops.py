@@ -139,3 +139,51 @@ def test_argmax_lastdim_matches_jnp(rng):
     xb = x.astype(jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(argmax_lastdim(xb)),
                                   np.argmax(np.asarray(xb, np.float32), -1))
+
+
+def test_argmax_lastdim_packed_edge_cases(rng):
+    """The packed/two-pass lowerings must be bit-exact vs jnp.argmax,
+    including full-row ties, signed zeros, and bf16 rounding ties."""
+    from esn_tpu.ops import argmax_lastdim
+    x = rng.randn(4, 7, 9, 19).astype(np.float32)
+    x[..., ::3] = 0.0
+    x[0, 0, 0, :] = 0.25
+    x[1, 2, 3, 4] = -0.0
+    x[1, 2, 3, 5] = 0.0
+    x[2, 1, 1, :] = np.arange(19) * 1e-8   # collapses to ties in bf16
+    x[3, 0, 0, :] = -np.arange(19) - 5.0   # all-negative row
+    for dt in (jnp.float32, jnp.bfloat16):
+        xx = jnp.asarray(x).astype(dt)
+        np.testing.assert_array_equal(np.asarray(argmax_lastdim(xx)),
+                                      np.asarray(jnp.argmax(xx, -1)))
+
+
+def test_conv_transpose_subpixel_matches_zero_insert(rng, monkeypatch):
+    """The subpixel lowering (default) and the zero-insert fallback must
+    agree exactly, values and gradients, on the zoo's decoder geometries."""
+    from esn_tpu.ops import convolution as C
+    for (k, s, p, op) in [(2, 2, 0, 0), (3, 2, 1, 1), (4, 2, 1, 0)]:
+        x = jnp.asarray(rng.randn(2, 9, 11, 8), jnp.float32)
+        w = jnp.asarray(rng.randn(k, k, 8, 5), jnp.float32)
+        b = jnp.asarray(rng.randn(5), jnp.float32)
+
+        def f(x_, w_, b_, use_subpixel):
+            monkeypatch.setenv("ESN_TPU_SUBPIXEL_CONVT",
+                               "1" if use_subpixel else "0")
+            return C.conv2d_transpose(x_, w_, stride=s, padding=p,
+                                      output_padding=op, bias=b_)
+
+        ref = f(x, w, b, False)
+        got = f(x, w, b, True)
+        assert ref.shape == got.shape, (k, s, p, op)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(args, use):
+            return jnp.sum(f(*args, use) ** 2)
+
+        gref = jax.grad(loss)((x, w, b), False)
+        ggot = jax.grad(loss)((x, w, b), True)
+        for a, c in zip(gref, ggot):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
