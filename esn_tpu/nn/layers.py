@@ -5,6 +5,7 @@ Dropout2d / Linear`` used throughout ``model/*.py`` [R]. All NHWC.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple, Union
 
 import jax
@@ -36,7 +37,9 @@ class Conv(Module):
         self.use_bias = bias
         self.kernel_init = kernel_init or init.kaiming_normal("fan_out")
 
-    def __call__(self, scope: Scope, x):
+    def params(self, scope: Scope):
+        """Create/fetch (kernel, bias) without running — lets composite
+        fast paths (e.g. lane folding) reuse the same parameter tree."""
         kh, kw = self.kernel
         w = scope.param("kernel", self.kernel_init,
                         (kh, kw, self.in_ch // self.groups, self.out_ch))
@@ -44,6 +47,27 @@ class Conv(Module):
         if self.use_bias:
             fan_in = kh * kw * self.in_ch // self.groups
             b = scope.param("bias", init.bias_for_fan_in(fan_in), (self.out_ch,))
+        return w, b
+
+    def __call__(self, scope: Scope, x):
+        w, b = self.params(scope)
+        if (os.environ.get("ESN_TPU_AUTOFOLD", "0") == "1"
+                and not scope.is_init and self.groups == 1
+                and _pair(self.stride) == (1, 1) and self.in_ch <= 64):
+            # EXPERIMENTAL, default off: per-conv lane folding pays a
+            # fold/unfold relayout around every conv while the elementwise
+            # ops between stay lane-padded — measured a net LOSS on ENet
+            # (86 vs 125 img/s b32). Folding wins at BLOCK granularity
+            # (one fold, whole block folded, one unfold): see
+            # NonBottleneck1d._folded (+3.5x on ERFNet).
+            from ..ops import folding
+            f = folding.fold_factor(self.in_ch, x.shape[2])
+            if f > 1:
+                y = folding.folded_conv2d(
+                    folding.fold_w(x, f), w, f,
+                    dilation=_pair(self.dilation),
+                    padding=_pair(self.padding), bias=b)
+                return folding.unfold_w(y, f)
         return C.conv2d(x, w, stride=self.stride, padding=self.padding,
                         dilation=self.dilation, groups=self.groups, bias=b)
 
@@ -54,12 +78,13 @@ class ConvTranspose(Module):
     def __init__(self, in_ch: int, out_ch: int, kernel: IntOr2, *,
                  stride: IntOr2 = 1, padding: IntOr2 = 0,
                  output_padding: IntOr2 = 0, bias: bool = True,
-                 kernel_init=None):
+                 kernel_init=None, lowering: str = "auto"):
         self.in_ch, self.out_ch = in_ch, out_ch
         self.kernel = _pair(kernel)
         self.stride, self.padding, self.output_padding = stride, padding, output_padding
         self.use_bias = bias
         self.kernel_init = kernel_init or init.kaiming_normal("fan_out")
+        self.lowering = lowering
 
     def __call__(self, scope: Scope, x):
         kh, kw = self.kernel
@@ -70,7 +95,8 @@ class ConvTranspose(Module):
             fan_in = kh * kw * self.in_ch
             b = scope.param("bias", init.bias_for_fan_in(fan_in), (self.out_ch,))
         return C.conv2d_transpose(x, w, stride=self.stride, padding=self.padding,
-                                  output_padding=self.output_padding, bias=b)
+                                  output_padding=self.output_padding, bias=b,
+                                  lowering=self.lowering)
 
 
 class BatchNorm(Module):
@@ -92,8 +118,16 @@ class BatchNorm(Module):
         self.affine = affine
 
     def __call__(self, scope: Scope, x):
+        return self.folded_apply(scope, x, 1)
+
+    def folded_apply(self, scope: Scope, x, fold: int):
+        """Apply BN to a W-lane-folded tensor (``ops.folding``): channel
+        slot ``f*C + c`` is original channel c, so statistics reduce over
+        the fold axis too and affine params tile ``fold`` times. ``fold=1``
+        is plain BatchNorm."""
         c = self.num_features
-        assert x.shape[-1] == c, f"BatchNorm expected {c} channels, got {x.shape}"
+        assert x.shape[-1] == fold * c, \
+            f"BatchNorm expected {fold}x{c} channels, got {x.shape}"
         run_mean = scope.stat("mean", init.zeros, (c,))
         run_var = scope.stat("var", init.ones, (c,))
         if scope.train and not scope.is_init:
@@ -103,12 +137,13 @@ class BatchNorm(Module):
             # input to it). Centering on c = running mean (a constant wrt the
             # sweep) keeps the shifted-moment subtraction cancellation-free:
             # once rm tracks the batch mean, E[(x-c)^2] ~ var >> E[x-c]^2.
-            xf = x.astype(jnp.float32) - run_mean
-            d = jnp.mean(xf, axis=(0, 1, 2))
-            m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            xf = x.astype(jnp.float32).reshape(*x.shape[:3], fold, c) \
+                - run_mean
+            d = jnp.mean(xf, axis=(0, 1, 2, 3))
+            m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
             mean = run_mean + d
             var = jnp.maximum(m2 - jnp.square(d), 0.0)
-            n = x.shape[0] * x.shape[1] * x.shape[2]
+            n = x.shape[0] * x.shape[1] * x.shape[2] * fold
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum
             scope.put_stat("mean", (1 - m) * run_mean + m * mean)
@@ -123,6 +158,9 @@ class BatchNorm(Module):
             offset = beta - mean * scale
         else:
             offset = -mean * scale
+        if fold > 1:
+            scale = jnp.tile(scale, fold)
+            offset = jnp.tile(offset, fold)
         return (x * scale.astype(x.dtype) + offset.astype(x.dtype))
 
 
@@ -159,11 +197,20 @@ class SpatialDropout(Module):
         self.rate = float(rate)
 
     def __call__(self, scope: Scope, x):
+        return self.folded_apply(scope, x, 1)
+
+    def folded_apply(self, scope: Scope, x, fold: int):
+        """Channel-dropout on a W-lane-folded tensor: the mask is drawn per
+        ORIGINAL channel and tiled, so all fold slots of a channel drop
+        together (anything else would not be channel dropout)."""
         if not scope.train or self.rate <= 0.0 or scope.is_init:
             return x
         keep = 1.0 - self.rate
-        n, _, _, c = x.shape
-        mask = jax.random.bernoulli(scope.make_rng("dropout"), keep, (n, 1, 1, c))
+        n, _, _, fc = x.shape
+        mask = jax.random.bernoulli(scope.make_rng("dropout"), keep,
+                                    (n, 1, 1, fc // fold))
+        if fold > 1:
+            mask = jnp.tile(mask, (1, 1, 1, fold))
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

@@ -232,7 +232,8 @@ def conv2d_transpose_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, *,
 def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
                      stride: IntOr2 = 1, padding: IntOr2 = 0,
                      output_padding: IntOr2 = 0,
-                     bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     bias: Optional[jnp.ndarray] = None,
+                     lowering: str = "auto") -> jnp.ndarray:
     """Transposed conv with torch shape semantics:
     ``out = (H - 1)*s - 2p + k + output_padding``. x: NHWC, kernel: HWIO
     (I = in_channels, O = out_channels).
@@ -250,7 +251,8 @@ def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
     oph, opw = _pair(output_padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
     assert oph < sh and opw < sw, "output_padding must be < stride"
-    if (os.environ.get("ESN_TPU_SUBPIXEL_CONVT", "1") != "0"
+    if (lowering != "zero_insert"
+            and os.environ.get("ESN_TPU_SUBPIXEL_CONVT", "1") != "0"
             and (sh > 1 or sw > 1)
             and kh + oph - 2 * ph == sh and kw + opw - 2 * pw == sw
             and kh >= sh and kw >= sw):
