@@ -71,9 +71,7 @@ def main(argv=None):
                 def body(i, carry):
                     acc, xx = carry
                     xx = xx * (1.0 + 1e-12 * i)  # defeat CSE/hoisting
-                    from esn_tpu.ops import argmax_lastdim
-                    pred = argmax_lastdim(nn.apply(model, v, xx),
-                                          tail=model.LOGITS_TAIL)
+                    pred = nn.apply(model, v, xx, method="predict")
                     return acc + jnp.sum(pred, dtype=jnp.int32), xx
                 acc, _ = lax.fori_loop(0, iters, body, (jnp.int32(0), x))
                 return acc

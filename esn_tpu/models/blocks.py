@@ -362,3 +362,24 @@ class UpsamplerBlock(nn.Module):
 
     def __call__(self, scope, x):
         return scope("post", self.post, scope("deconv", self.deconv, x))
+
+
+def subpixel_predict_tail(layer, scope, y):
+    """Finish a model whose LAST layer is a ConvTranspose with the fused
+    prediction head: class-argmax per subpixel phase, depth-to-space on the
+    int32 indices (ops.classify.subpixel_argmax — exact, and the full-res
+    class-channel logits never exist). Falls back to logits + argmax when
+    the geometry is ineligible or ESN_TPU_FUSED_PREDICT=0."""
+    from ..nn.layers import _pair
+    from ..ops import classify as CL
+    from ..ops import convolution as C
+
+    w, b = layer.params(scope)
+    if (os.environ.get("ESN_TPU_FUSED_PREDICT", "1") != "0"
+            and layer.subpixel_eligible()):
+        return CL.subpixel_argmax(y, w, b, stride=_pair(layer.stride),
+                                  padding=_pair(layer.padding))
+    logits = C.conv2d_transpose(y, w, stride=layer.stride,
+                                padding=layer.padding,
+                                output_padding=layer.output_padding, bias=b)
+    return CL.argmax_lastdim(logits, tail="conv")

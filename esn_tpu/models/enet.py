@@ -20,8 +20,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import os
+
 from .. import nn
+from ..nn.layers import _pair
+from ..ops import folding
 from ..ops import pooling as P
+from .blocks import subpixel_predict_tail
 
 
 def _act(relu: bool, ch: int) -> nn.Module:
@@ -53,6 +58,7 @@ class RegularBottleneck(nn.Module):
     def __init__(self, ch: int, *, internal_ratio: int = 4, dilation: int = 1,
                  asymmetric: bool = False, dropout: float = 0.1,
                  relu: bool = False):
+        self.ch = ch
         mid = ch // internal_ratio
         self.reduce = nn.Sequential(nn.Conv(ch, mid, 1, bias=False),
                                     nn.BatchNorm(mid), _act(relu, mid))
@@ -72,11 +78,55 @@ class RegularBottleneck(nn.Module):
         self.out_act = _act(relu, ch)
 
     def __call__(self, scope, x):
+        f = 1
+        if os.environ.get("ESN_TPU_FOLD_ENET", "0") == "1" \
+                and not scope.is_init:
+            f = folding.fold_factor(self.ch, x.shape[2])
+        if f > 1:
+            return self._folded(scope, x, f)
         y = scope("reduce", self.reduce, x)
         y = scope("core", self.core, y)
         y = scope("expand", self.expand, y)
         y = scope("drop", self.drop, y)
         return scope("out_act", self.out_act, x + y)
+
+    def _folded(self, scope, x, f):
+        """Lane-folded execution (ops.folding, slot-major): one fold, the
+        whole reduce/core/expand/residual chain dense, one unfold. Exact vs
+        the plain path (tested) but OFF by default: measured a net LOSS on
+        ENet (112.7 vs 125.3 img/s b32 2048x1024) — the bottleneck's mid
+        width is ch/4, so even folded the core runs at 32/128 lanes, the
+        1x1 reduce/expand (the FLOPs) were already half-dense unfolded, and
+        each block pays fold/unfold relayouts. Folding pays off when a
+        block is narrow END-TO-END (NonBottleneck1d: +3.5x), not when only
+        its waist is narrow. Kept behind ESN_TPU_FOLD_ENET=1."""
+        def act(m, s, y):
+            if isinstance(m, nn.PReLU):
+                return m.folded_apply(s, y, f)
+            return m(s, y)
+
+        def conv_bn(seq, s, y):
+            for i, layer in enumerate(seq.layers):
+                si = s.child(str(i))
+                if isinstance(layer, nn.Conv):
+                    w, b = layer.params(si)
+                    y = folding.folded_conv2d(
+                        y, w, f, dilation=_pair(layer.dilation),
+                        padding=_pair(layer.padding), bias=b)
+                elif isinstance(layer, nn.BatchNorm):
+                    y = layer.folded_apply(si, y, f)
+                else:
+                    y = act(layer, si, y)
+            return y
+
+        y = folding.fold_w(x, f)
+        r = y
+        y = conv_bn(self.reduce, scope.child("reduce"), y)
+        y = conv_bn(self.core, scope.child("core"), y)
+        y = conv_bn(self.expand, scope.child("expand"), y)
+        y = self.drop.folded_apply(scope.child("drop"), y, f)
+        y = act(self.out_act, scope.child("out_act"), r + y)
+        return folding.unfold_w(y, f)
 
 
 class DownsamplingBottleneck(nn.Module):
@@ -180,7 +230,7 @@ class ENet(nn.Module):
         self.fullconv = nn.ConvTranspose(16, classes, 3, stride=2, padding=1,
                                          output_padding=1, bias=False)
 
-    def __call__(self, scope, x):
+    def features(self, scope, x):
         y = scope("initial", self.initial, x)
         y, idx1 = scope("down1", self.down1, y)
         y = scope("stage1", self.stage1, y)
@@ -191,4 +241,14 @@ class ENet(nn.Module):
         y = scope("stage4", self.stage4, y)
         y = scope("up5", self.up5, y, idx1)
         y = scope("stage5", self.stage5, y)
-        return scope("fullconv", self.fullconv, y)
+        return y
+
+    def __call__(self, scope, x):
+        return scope("fullconv", self.fullconv,
+                     self.features(scope, x))
+
+    def predict(self, scope, x):
+        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        return subpixel_predict_tail(self.fullconv,
+                                     scope.child("fullconv"),
+                                     self.features(scope, x))

@@ -12,7 +12,7 @@ dec: up(128->64), 2x FCU(64,k5); up(64->16), 2x FCU(16,k3);
 from __future__ import annotations
 
 from .. import nn
-from .blocks import (DownsamplerConcat, NonBottleneck1d, UpsamplerBlock)
+from .blocks import (DownsamplerConcat, NonBottleneck1d, UpsamplerBlock, subpixel_predict_tail)
 from .registry import register
 
 
@@ -65,7 +65,17 @@ class ESNet(nn.Module):
             NonBottleneck1d(16, k=3), NonBottleneck1d(16, k=3))
         self.head = nn.ConvTranspose(16, classes, 2, stride=2, bias=True)
 
-    def __call__(self, scope, x):
+    def features(self, scope, x):
         y = scope("encoder", self.encoder, x)
         y = scope("decoder", self.decoder, y)
-        return scope("head", self.head, y)
+        return y
+
+    def __call__(self, scope, x):
+        return scope("head", self.head,
+                     self.features(scope, x))
+
+    def predict(self, scope, x):
+        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        return subpixel_predict_tail(self.head,
+                                     scope.child("head"),
+                                     self.features(scope, x))

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .. import nn
 from ..ops import resize as R
-from .blocks import BNAct, ConvBNAct, InputInjection
+from .blocks import BNAct, ConvBNAct, InputInjection, subpixel_predict_tail
 from .registry import register
 
 BN_EPS = 1e-3
@@ -119,7 +119,7 @@ class ESPNet(nn.Module):
         self.mix1 = ConvBNAct(2 * c, c, 3, act="prelu", bn_eps=BN_EPS)
         self.up1 = nn.ConvTranspose(c, c, 2, stride=2, bias=False)
 
-    def __call__(self, scope, x):
+    def features(self, scope, x):
         f1, f2, f3 = self.enc.encode(scope.child("enc"), x)
         y = scope("proj3", self.proj3, f3)                # 1/8, C
         y = scope("up3", self.up3, y)                     # 1/4
@@ -128,4 +128,14 @@ class ESPNet(nn.Module):
         y = scope("up2", self.up2, y)                     # 1/2
         s1 = scope("proj1", self.proj1, f1)
         y = scope("mix1", self.mix1, jnp.concatenate([y, s1], -1))
-        return scope("up1", self.up1, y)                  # 1/1, C
+        return y                  # 1/1, C
+
+    def __call__(self, scope, x):
+        return scope("up1", self.up1,
+                     self.features(scope, x))
+
+    def predict(self, scope, x):
+        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        return subpixel_predict_tail(self.up1,
+                                     scope.child("up1"),
+                                     self.features(scope, x))

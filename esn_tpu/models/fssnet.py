@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from .. import nn
 from ..ops import pooling as P
-from .blocks import ConvBNAct
+from .blocks import ConvBNAct, subpixel_predict_tail
 from .registry import register
 
 
@@ -129,7 +129,7 @@ class FSSNet(nn.Module):
         self.head = nn.ConvTranspose(16, classes, 3, stride=2, padding=1,
                                      output_padding=1, bias=True)
 
-    def __call__(self, scope, x):
+    def features(self, scope, x):
         y = scope("init", self.init_block, x)          # 1/2, 16
         e1 = scope("down1", self.down1, y)             # 1/4, 64
         e1 = scope("fac", self.fac, e1)
@@ -139,4 +139,14 @@ class FSSNet(nn.Module):
         d2 = scope("dec2", self.dec2, d2)
         d1 = scope("up1", self.up1, d2) + y            # 1/2, 16
         d1 = scope("dec1", self.dec1, d1)
-        return scope("head", self.head, d1)
+        return d1
+
+    def __call__(self, scope, x):
+        return scope("head", self.head,
+                     self.features(scope, x))
+
+    def predict(self, scope, x):
+        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        return subpixel_predict_tail(self.head,
+                                     scope.child("head"),
+                                     self.features(scope, x))

@@ -10,9 +10,14 @@ scores, x8 bilinear.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from .. import nn
+from ..nn.layers import _pair
+from ..ops import folding
 from ..ops import pooling as P
 from ..ops import resize as R
 from .blocks import (BNAct, ConvBNAct, DownsamplerConcat, channel_shuffle,
@@ -28,7 +33,9 @@ class SSnbt(nn.Module):
 
     def __init__(self, ch: int, dilation: int = 1, dropout: float = 0.0):
         half = ch // 2
+        self.half = half
         d = dilation
+        self.d = d
         self.l1 = nn.Conv(half, half, (3, 1), padding=(1, 0), bias=True)
         self.l2 = nn.Conv(half, half, (1, 3), padding=(0, 1), bias=True)
         self.l_bn1 = BNAct(half, act="relu", bn_eps=BN_EPS)
@@ -49,6 +56,13 @@ class SSnbt(nn.Module):
         self.drop = nn.SpatialDropout(dropout)
 
     def __call__(self, scope, x):
+        f = 1
+        if os.environ.get("ESN_TPU_FOLD", "1") != "0" and not scope.is_init:
+            f = folding.fold_factor(self.half, x.shape[2])
+            if not folding.fold_worthwhile(3, self.d, f):
+                f = 1
+        if f > 1:
+            return self._folded(scope, x, f)
         left, right = channel_split(x)
         l = nn.relu(scope("l1", self.l1, left))
         l = scope("l_bn1", self.l_bn1, scope("l2", self.l2, l))
@@ -64,6 +78,56 @@ class SSnbt(nn.Module):
         y = scope("drop", self.drop, y)
         y = nn.relu(x + y)
         return channel_shuffle(y, 2)
+
+    def _folded(self, scope, x, f):
+        """Lane-folded halves (ops.folding): each 16-64ch factorized branch
+        runs 128-lane dense. Exact vs the plain path incl. the dropout mask
+        (drawn once at full width and split, as the plain path does)."""
+        def conv(m, name, y, relu_after=False):
+            w, b = m.params(scope.child(name))
+            y = folding.folded_conv2d(y, w, f, dilation=_pair(m.dilation),
+                                      padding=_pair(m.padding), bias=b)
+            return nn.relu(y) if relu_after else y
+
+        def bnact(m, name, y):
+            s = scope.child(name)
+            y = m.bn.folded_apply(s.child("bn"), y, f)
+            if m.act is not None:
+                y = m.act.folded_apply(s.child("act"), y, f) \
+                    if isinstance(m.act, nn.PReLU) else m.act(s.child("act"), y)
+            return y
+
+        left, right = channel_split(x)
+        lf, rf = folding.fold_w(left, f), folding.fold_w(right, f)
+
+        l = conv(self.l1, "l1", lf, relu_after=True)
+        l = bnact(self.l_bn1, "l_bn1", conv(self.l2, "l2", l))
+        l = conv(self.l3, "l3", l, relu_after=True)
+        l = self.l_bn2.folded_apply(scope.child("l_bn2"),
+                                    conv(self.l4, "l4", l), f)
+
+        r = conv(self.r1, "r1", rf, relu_after=True)
+        r = bnact(self.r_bn1, "r_bn1", conv(self.r2, "r2", r))
+        r = conv(self.r3, "r3", r, relu_after=True)
+        r = self.r_bn2.folded_apply(scope.child("r_bn2"),
+                                    conv(self.r4, "r4", r), f)
+
+        if scope.train and self.drop.rate > 0.0 and not scope.is_init:
+            # one full-width mask split in half — bit-identical to the plain
+            # path's single draw on the concatenated tensor
+            keep = 1.0 - self.drop.rate
+            n = x.shape[0]
+            mask = jax.random.bernoulli(
+                scope.child("drop").make_rng("dropout"), keep,
+                (n, 1, 1, 2 * self.half))
+            ml = jnp.tile(mask[..., :self.half], (1, 1, 1, f))
+            mr = jnp.tile(mask[..., self.half:], (1, 1, 1, f))
+            l = jnp.where(ml, l / keep, 0.0).astype(l.dtype)
+            r = jnp.where(mr, r / keep, 0.0).astype(r.dtype)
+
+        l = folding.unfold_w(nn.relu(lf + l), f)
+        r = folding.unfold_w(nn.relu(rf + r), f)
+        return channel_shuffle(jnp.concatenate([l, r], axis=-1), 2)
 
 
 class APN(nn.Module):

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from .. import nn
 from ..ops import pooling as P
-from .blocks import ConvBNAct
+from .blocks import ConvBNAct, subpixel_predict_tail
 from .registry import register
 
 
@@ -68,7 +68,7 @@ class LinkNet(nn.Module):
         self.final_conv = ConvBNAct(32, 32, 3, act="relu")
         self.head = nn.ConvTranspose(32, classes, 2, stride=2, bias=True)
 
-    def __call__(self, scope, x):
+    def features(self, scope, x):
         y = scope("stem", self.stem, x)
         y = P.max_pool2d(y, 3, 2, 1)
         skips = []
@@ -82,4 +82,14 @@ class LinkNet(nn.Module):
         y = nn.relu(scope("final_bn", self.final_bn,
                           scope("final_up", self.final_up, y)))
         y = scope("final_conv", self.final_conv, y)
-        return scope("head", self.head, y)
+        return y
+
+    def __call__(self, scope, x):
+        return scope("head", self.head,
+                     self.features(scope, x))
+
+    def predict(self, scope, x):
+        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        return subpixel_predict_tail(self.head,
+                                     scope.child("head"),
+                                     self.features(scope, x))

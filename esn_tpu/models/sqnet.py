@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from .. import nn
 from ..ops import pooling as P
-from .blocks import ConvBNAct
+from .blocks import ConvBNAct, subpixel_predict_tail
 from .registry import register
 
 
@@ -80,7 +80,7 @@ class SQNet(nn.Module):
         self.r1 = BypassRefine(64, 96, 32)      # 1/4 -> 1/2, skip conv1 out
         self.head = nn.ConvTranspose(32, classes, 2, stride=2, bias=True)
 
-    def __call__(self, scope, x):
+    def features(self, scope, x):
         c1 = nn.relu(scope("conv1", self.conv1, x))       # 1/2, 96
         y = P.max_pool2d(c1, 2, 2)                        # 1/4
         y = scope("f1", self.f1, y)
@@ -97,4 +97,14 @@ class SQNet(nn.Module):
         y = scope("r3", self.r3, y, s8)                   # 1/8, 128
         y = scope("r2", self.r2, y, s4)                   # 1/4, 64
         y = scope("r1", self.r1, y, c1)                   # 1/2, 32
-        return scope("head", self.head, y)
+        return y
+
+    def __call__(self, scope, x):
+        return scope("head", self.head,
+                     self.features(scope, x))
+
+    def predict(self, scope, x):
+        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        return subpixel_predict_tail(self.head,
+                                     scope.child("head"),
+                                     self.features(scope, x))

@@ -151,6 +151,15 @@ class Module:
     def __call__(self, scope: Scope, *args, **kwargs):  # pragma: no cover
         raise NotImplementedError
 
+    def predict(self, scope: Scope, x):
+        """Class-map prediction: ``argmax(logits)`` by default. ConvT-tail
+        models override this with the fused subpixel head (argmax before
+        depth-to-space — ops.classify.subpixel_argmax), which is exact but
+        never materializes full-res class-channel logits. Run it with
+        ``nn.apply(model, variables, x, method="predict")``."""
+        from ..ops.classify import argmax_lastdim
+        return argmax_lastdim(self(scope, x), tail=self.LOGITS_TAIL)
+
     # Convenience wrappers ---------------------------------------------------
     def init(self, rng, *args, train: bool = False, rngs: Optional[Dict] = None,
              **kwargs) -> Dict[str, PyTree]:
@@ -196,8 +205,10 @@ def _merge_updates(stats: PyTree, updates: Dict[Tuple[str, ...], Dict[str, jnp.n
 
 def apply(module: Module, variables: Dict[str, PyTree], *args,
           train: bool = False, mutable: bool = False,
-          rngs: Optional[Dict[str, jax.Array]] = None, **kwargs):
-    """Run the forward pass.
+          rngs: Optional[Dict[str, jax.Array]] = None,
+          method: Optional[str] = None, **kwargs):
+    """Run the forward pass (or another scope-taking method via ``method``,
+    e.g. ``method="predict"`` for the fused prediction head).
 
     Returns ``y`` or, when ``mutable=True``, ``(y, new_variables)`` where
     ``new_variables["stats"]`` carries updated running statistics.
@@ -205,7 +216,8 @@ def apply(module: Module, variables: Dict[str, PyTree], *args,
     root = _Root(params=variables.get("params", {}),
                  stats=variables.get("stats", {}),
                  is_init=False, rngs=rngs, train=train, mutable=mutable)
-    y = module(Scope(root), *args, **kwargs)
+    fn = getattr(module, method) if method else module
+    y = fn(Scope(root), *args, **kwargs)
     if mutable:
         new_vars = {"params": variables.get("params", {}),
                     "stats": _merge_updates(variables.get("stats", {}),

@@ -86,7 +86,9 @@ class ConvTranspose(Module):
         self.kernel_init = kernel_init or init.kaiming_normal("fan_out")
         self.lowering = lowering
 
-    def __call__(self, scope: Scope, x):
+    def params(self, scope: Scope):
+        """Create/fetch (kernel, bias) without running — for fused
+        prediction heads (ops.classify.subpixel_argmax)."""
         kh, kw = self.kernel
         w = scope.param("kernel", self.kernel_init,
                         (kh, kw, self.in_ch, self.out_ch))
@@ -94,6 +96,18 @@ class ConvTranspose(Module):
         if self.use_bias:
             fan_in = kh * kw * self.in_ch
             b = scope.param("bias", init.bias_for_fan_in(fan_in), (self.out_ch,))
+        return w, b
+
+    def subpixel_eligible(self) -> bool:
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
+        kh, kw = self.kernel
+        return (sh > 1 or sw > 1) and kh >= sh and kw >= sw \
+            and kh + oph - 2 * ph == sh and kw + opw - 2 * pw == sw
+
+    def __call__(self, scope: Scope, x):
+        w, b = self.params(scope)
         return C.conv2d_transpose(x, w, stride=self.stride, padding=self.padding,
                                   output_padding=self.output_padding, bias=b,
                                   lowering=self.lowering)
@@ -172,8 +186,15 @@ class PReLU(Module):
         self.init_value = init_value
 
     def __call__(self, scope: Scope, x):
+        return self.folded_apply(scope, x, 1)
+
+    def folded_apply(self, scope: Scope, x, fold: int):
+        """PReLU on a W-lane-folded tensor (slot-major layout: channel
+        g*C + c is original channel c), so per-channel slopes tile."""
         a = scope.param("alpha", init.constant(self.init_value),
                         (self.num_parameters,))
+        if fold > 1 and self.num_parameters > 1:
+            a = jnp.tile(a, fold)
         a = a.astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
 

@@ -19,7 +19,6 @@ def _argmax_packed_bf16(x: jnp.ndarray) -> jnp.ndarray:
     maximal class — jnp.argmax's tie rule. ``x + 0`` first canonicalizes
     -0.0 to +0.0 so both zeros compare equal, as in float compare.
     """
-    c = x.shape[-1]
     b = lax.bitcast_convert_type(x + jnp.asarray(0, x.dtype),
                                  jnp.uint16).astype(jnp.int32)
     key = jnp.where(b >= 0x8000, b ^ 0xFFFF, b | 0x8000)
@@ -72,3 +71,28 @@ def argmax_lastdim(x, tail: str = "conv"):
     if x.dtype == jnp.bfloat16:
         return _argmax_packed_bf16(x)
     return _argmax_two_pass(x)
+
+
+def subpixel_argmax(x, kernel, bias, *, stride, padding):
+    """Fused prediction head for a final ConvTranspose: class-argmax per
+    subpixel phase at LOW res, then depth-to-space the int32 indices.
+
+    ``argmax(depth_to_space(z)) == depth_to_space(argmax per phase)`` —
+    depth-to-space only permutes pixels — so this is exact, but the
+    full-resolution class-channel logits never exist: the only full-res
+    tensor is the int32 prediction map. (ESPNet b8: 64.4 vs 36.5 img/s,
+    tools/bench_convt_subpixel.py variant E.)
+
+    x: (N,H,W,I) features; kernel/bias: the ConvTranspose's parameters.
+    """
+    from .convolution import subpixel_phase_conv
+    sh, sw = stride
+    z = subpixel_phase_conv(x, kernel, stride=stride, padding=padding)
+    n, h, w, c = z.shape
+    o = c // (sh * sw)
+    z = z.reshape(n, h, w, sh * sw, o)
+    if bias is not None:
+        z = z + bias.astype(z.dtype)
+    idx = argmax_lastdim(z, tail="conv")          # (n,h,w,sh*sw)
+    idx = idx.reshape(n, h, w, sh, sw).transpose(0, 1, 3, 2, 4)
+    return idx.reshape(n, h * sh, w * sw)

@@ -183,20 +183,13 @@ def _subpixel_axis(K: int, s: int, p: int):
     return k0, d0, dmin, dmax
 
 
-def conv2d_transpose_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, *,
-                              stride: Tuple[int, int],
-                              padding: Tuple[int, int],
-                              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """ConvT(k, s) as ONE stride-1 conv to ``s*s*O`` channels at input
-    resolution + depth-to-space — the subpixel/pixel-shuffle decomposition.
-
-    Requires ``k + output_padding - 2p == s`` per axis (out == s*H), which
-    covers the zoo's two decoder geometries (k2s2p0 and k3s2p1op1). Wins
-    twice over zero-insertion: the matmul runs at LOW res with s^2-fat output
-    channels (dense MXU work instead of 3/4-zero taps), and a class-axis
-    argmax downstream no longer refuses a full-res conv as its producer
-    (ESPNet: 251 -> measured in tools/bench_convt_subpixel.py).
-    """
+def subpixel_phase_conv(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                        stride: Tuple[int, int],
+                        padding: Tuple[int, int]) -> jnp.ndarray:
+    """The stride-1 phase conv of the subpixel convT decomposition:
+    returns (N, H, W, sh*sw*O) phase-major — depth-to-space of this equals
+    the transposed conv. Exposed separately so prediction heads can reduce
+    over classes BEFORE depth-to-space (ops.classify.subpixel_argmax)."""
     sh, sw = stride
     ph, pw = padding
     K_h, K_w, I, O = kernel.shape
@@ -220,10 +213,33 @@ def conv2d_transpose_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, *,
     import os
     core = _conv_core if os.environ.get(
         "ESN_TPU_CUSTOM_CONV_GRAD", "1") != "0" else _conv_raw
-    y = core(x, merged, (1, 1), pad, (1, 1), 1)
-    n, h, w, _ = y.shape
-    y = y.reshape(n, h, w, sh, sw, O).transpose(0, 1, 3, 2, 4, 5)
-    y = y.reshape(n, h * sh, w * sw, O)
+    return core(x, merged, (1, 1), pad, (1, 1), 1)
+
+
+def depth_to_space(y: jnp.ndarray, sh: int, sw: int) -> jnp.ndarray:
+    """(N, H, W, sh*sw*O) phase-major -> (N, sh*H, sw*W, O)."""
+    n, h, w, c = y.shape
+    o = c // (sh * sw)
+    y = y.reshape(n, h, w, sh, sw, o).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, h * sh, w * sw, o)
+
+
+def conv2d_transpose_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                              stride: Tuple[int, int],
+                              padding: Tuple[int, int],
+                              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """ConvT(k, s) as ONE stride-1 conv to ``s*s*O`` channels at input
+    resolution + depth-to-space — the subpixel/pixel-shuffle decomposition.
+
+    Requires ``k + output_padding - 2p == s`` per axis (out == s*H), which
+    covers the zoo's two decoder geometries (k2s2p0 and k3s2p1op1). Wins
+    twice over zero-insertion: the matmul runs at LOW res with s^2-fat output
+    channels (dense MXU work instead of 3/4-zero taps), and a class-axis
+    argmax downstream no longer refuses a full-res conv as its producer
+    (ESPNet: 251 -> measured in tools/bench_convt_subpixel.py).
+    """
+    y = subpixel_phase_conv(x, kernel, stride=stride, padding=padding)
+    y = depth_to_space(y, stride[0], stride[1])
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -53,6 +53,19 @@ def fold_factor(c: int, w: int, *, max_f: int = 8,
     return f
 
 
+def fold_worthwhile(kw: int, dw: int, f: int) -> bool:
+    """Is folding a (.,kw) conv with W-dilation dw at fold f a net win?
+
+    The banded folded kernel spans ``U`` folded taps; FLOPs grow U/kw while
+    lane density grows ~f. Require U/kw <= f/2 so at least half the density
+    gain survives. (f=2,d=5: U=7 -> no; f=8,d=16: U=5 -> yes.)
+    """
+    pw = dw * (kw - 1) // 2
+    pos = [(g + dw * tw - pw) // f for g in range(f) for tw in range(kw)]
+    u = max(pos) - min(pos) + 1
+    return 2 * u <= kw * f
+
+
 def folded_kernel(kernel: jnp.ndarray, f: int, *,
                   dilation: Tuple[int, int] = (1, 1),
                   padding: Tuple[int, int] = (0, 0)):

@@ -133,11 +133,13 @@ def make_eval_step(model: nn.Module, num_classes: int, *,
 
     @jax.jit
     def eval_step(variables, batch):
-        logits = nn.apply(model, variables,
-                          batch["image"].astype(compute_dtype), train=False)
-        # no f32 upcast before argmax: bf16->f32 is monotone and exact, so
-        # the result is identical and the cheaper bf16 lowering applies
-        pred = argmax_lastdim(logits, tail=model.LOGITS_TAIL)
+        # model.predict fuses the prediction head where possible (subpixel
+        # argmax before depth-to-space for convT tails); default is
+        # argmax(logits) with the tail-appropriate lowering. Exact either
+        # way — no f32 upcast needed, bf16->f32 is monotone.
+        pred = nn.apply(model, variables,
+                        batch["image"].astype(compute_dtype), train=False,
+                        method="predict")
         cm = confusion_matrix(pred, batch["label"], num_classes, ignore_index)
         return pred, cm
 
@@ -151,11 +153,12 @@ def make_predict_step(model: nn.Module, *, compute_dtype=jnp.float32,
 
     @jax.jit
     def predict(variables, images):
-        logits = nn.apply(model, variables, images.astype(compute_dtype),
-                          train=False)
         if output_size is not None:
+            logits = nn.apply(model, variables, images.astype(compute_dtype),
+                              train=False)
             logits = resize_bilinear(logits.astype(jnp.float32), output_size)
             return argmax_lastdim(logits, tail="resize")
-        return argmax_lastdim(logits, tail=model.LOGITS_TAIL)
+        return nn.apply(model, variables, images.astype(compute_dtype),
+                        train=False, method="predict")
 
     return predict

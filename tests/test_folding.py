@@ -100,3 +100,45 @@ def test_fold_factor():
     assert folding.fold_factor(16, 100) == 5   # W divisibility fallback
     assert folding.fold_factor(25, 256) == 4   # non-pow2 channel counts
     assert folding.fold_factor(16, 31) == 1
+
+
+def test_enet_regular_bottleneck_folded_matches_plain(rng, monkeypatch):
+    from esn_tpu.models.enet import RegularBottleneck
+    for asym, prelu in [(False, True), (True, False)]:
+        x = jnp.asarray(rng.randn(2, 8, 32, 16), jnp.float32)
+        outs = []
+        for fold_on in (False, True):
+            monkeypatch.setenv("ESN_TPU_FOLD_ENET", "1" if fold_on else "0")
+            m = RegularBottleneck(16, dropout=0.0, asymmetric=asym,
+                                  relu=not prelu)
+            v = m.init(jax.random.PRNGKey(0), x)
+            v = jax.tree_util.tree_map(
+                lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype)
+                .reshape(a.shape), v)
+            outs.append(nn.apply(m, v, x))
+        np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"asym={asym}")
+
+
+def test_lednet_ssnbt_folded_matches_plain(rng, monkeypatch):
+    from esn_tpu.models.lednet import SSnbt
+    x = jnp.asarray(rng.randn(2, 8, 32, 32), jnp.float32)
+    for train in (False, True):
+        outs = []
+        for fold_on in (False, True):
+            monkeypatch.setenv("ESN_TPU_FOLD", "1" if fold_on else "0")
+            m = SSnbt(32, dilation=2, dropout=0.5 if train else 0.0)
+            v = m.init(jax.random.PRNGKey(0), x)
+            v = jax.tree_util.tree_map(
+                lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype)
+                .reshape(a.shape), v)
+            if train:
+                y, _ = nn.apply(m, v, x, train=True, mutable=True,
+                                rngs={"dropout": jax.random.PRNGKey(3)})
+            else:
+                y = nn.apply(m, v, x)
+            outs.append(y)
+        np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"train={train}")

@@ -25,9 +25,7 @@ def slope_time(model, variables, x, lo=4, hi=12):
             def body(i, carry):
                 acc, x_ = carry
                 x_ = x_ * (1.0 + 1e-12 * i)
-                from esn_tpu.ops import argmax_lastdim
-                pred = argmax_lastdim(nn.apply(model, v, x_),
-                                      tail=model.LOGITS_TAIL)
+                pred = nn.apply(model, v, x_, method="predict")
                 return acc + jnp.sum(pred, dtype=jnp.int32), x_
             return lax.fori_loop(0, iters, body, (jnp.int32(0), xx))[0]
         return run
