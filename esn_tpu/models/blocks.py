@@ -364,7 +364,7 @@ class UpsamplerBlock(nn.Module):
         return scope("post", self.post, scope("deconv", self.deconv, x))
 
 
-def subpixel_predict_tail(layer, scope, y):
+def subpixel_predict_tail(layer, scope, y, *, argmax_tail="conv"):
     """Finish a model whose LAST layer is a ConvTranspose with the fused
     prediction head: class-argmax per subpixel phase, depth-to-space on the
     int32 indices (ops.classify.subpixel_argmax — exact, and the full-res
@@ -378,7 +378,8 @@ def subpixel_predict_tail(layer, scope, y):
     if (os.environ.get("ESN_TPU_FUSED_PREDICT", "1") != "0"
             and layer.subpixel_eligible()):
         return CL.subpixel_argmax(y, w, b, stride=_pair(layer.stride),
-                                  padding=_pair(layer.padding))
+                                  padding=_pair(layer.padding),
+                                  argmax_tail=argmax_tail)
     logits = C.conv2d_transpose(y, w, stride=layer.stride,
                                 padding=layer.padding,
                                 output_padding=layer.output_padding, bias=b)

@@ -171,8 +171,16 @@ class UpsamplingBottleneck(nn.Module):
         self.reduce = nn.Sequential(nn.Conv(in_ch, mid, 1, bias=False),
                                     nn.BatchNorm(mid), _act(relu, mid))
         self.up = nn.Sequential(
+            # zero_insert, not subpixel: ENet's b64 2048x1024 graph with
+            # subpixel internal ups crashes the TPU compile helper
+            # (reproducible HTTP 500); with zero-insert ups + a naive head
+            # argmax the b64 graph compiles and runs 189.7 img/s vs 125 at
+            # the b32 fallback (tools/bench_zoo, ESN_TPU_SUBPIXEL_CONVT=0
+            # A/B). Subpixel gains nothing here anyway: mid is 16-32ch, the
+            # same narrow-waist regime where folding lost (see _folded).
             nn.ConvTranspose(mid, mid, 3, stride=2, padding=1,
-                             output_padding=1, bias=False),
+                             output_padding=1, bias=False,
+                             lowering="zero_insert"),
             nn.BatchNorm(mid), _act(relu, mid))
         self.expand = nn.Sequential(nn.Conv(mid, out_ch, 1, bias=False),
                                     nn.BatchNorm(out_ch))
@@ -228,7 +236,8 @@ class ENet(nn.Module):
         self.up5 = UpsamplingBottleneck(64, 16, relu=decoder_relu)
         self.stage5 = RegularBottleneck(16, relu=decoder_relu)
         self.fullconv = nn.ConvTranspose(16, classes, 3, stride=2, padding=1,
-                                         output_padding=1, bias=False)
+                                         output_padding=1, bias=False,
+                                         lowering="zero_insert")
 
     def features(self, scope, x):
         y = scope("initial", self.initial, x)
@@ -248,7 +257,12 @@ class ENet(nn.Module):
                      self.features(scope, x))
 
     def predict(self, scope, x):
-        """Fused prediction head — see blocks.subpixel_predict_tail."""
+        """Fused prediction head — see blocks.subpixel_predict_tail.
+        argmax_tail="resize" (= plain jnp.argmax) on the phase logits: the
+        packed-key argmax pushes ENet's b64 graph over the TPU compile
+        helper's ceiling (HTTP 500), and the phase conv is a cheap producer
+        here, so naive costs nothing (189.7 img/s b64 measured)."""
         return subpixel_predict_tail(self.fullconv,
                                      scope.child("fullconv"),
-                                     self.features(scope, x))
+                                     self.features(scope, x),
+                                     argmax_tail="resize")

@@ -73,7 +73,8 @@ def argmax_lastdim(x, tail: str = "conv"):
     return _argmax_two_pass(x)
 
 
-def subpixel_argmax(x, kernel, bias, *, stride, padding):
+def subpixel_argmax(x, kernel, bias, *, stride, padding,
+                    argmax_tail: str = "conv"):
     """Fused prediction head for a final ConvTranspose: class-argmax per
     subpixel phase at LOW res, then depth-to-space the int32 indices.
 
@@ -93,6 +94,6 @@ def subpixel_argmax(x, kernel, bias, *, stride, padding):
     z = z.reshape(n, h, w, sh * sw, o)
     if bias is not None:
         z = z + bias.astype(z.dtype)
-    idx = argmax_lastdim(z, tail="conv")          # (n,h,w,sh*sw)
+    idx = argmax_lastdim(z, tail=argmax_tail)     # (n,h,w,sh*sw)
     idx = idx.reshape(n, h, w, sh, sw).transpose(0, 1, 3, 2, 4)
     return idx.reshape(n, h * sh, w * sw)
