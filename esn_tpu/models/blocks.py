@@ -364,12 +364,18 @@ class UpsamplerBlock(nn.Module):
         return scope("post", self.post, scope("deconv", self.deconv, x))
 
 
-def subpixel_predict_tail(layer, scope, y, *, argmax_tail="conv"):
+def subpixel_predict_tail(layer, scope, y, *, argmax_tail="resize"):
     """Finish a model whose LAST layer is a ConvTranspose with the fused
     prediction head: class-argmax per subpixel phase, depth-to-space on the
     int32 indices (ops.classify.subpixel_argmax — exact, and the full-res
     class-channel logits never exist). Falls back to logits + argmax when
-    the geometry is ineligible or ESN_TPU_FUSED_PREDICT=0."""
+    the geometry is ineligible or ESN_TPU_FUSED_PREDICT=0.
+
+    argmax_tail defaults to "resize" (= plain jnp.argmax): the phase conv
+    is a CHEAP producer, so the variadic-reduce refusion costs nothing,
+    while the packed-key form pushes large-batch graphs over the TPU
+    compile helper's ceiling (ESPNet b64: naive 116.7 img/s, packed fails
+    to compile and falls back to b32 at 90.7)."""
     from ..nn.layers import _pair
     from ..ops import classify as CL
     from ..ops import convolution as C
