@@ -388,5 +388,6 @@ def subpixel_predict_tail(layer, scope, y, *, argmax_tail="resize"):
                                   argmax_tail=argmax_tail)
     logits = C.conv2d_transpose(y, w, stride=layer.stride,
                                 padding=layer.padding,
-                                output_padding=layer.output_padding, bias=b)
+                                output_padding=layer.output_padding, bias=b,
+                                lowering=layer.lowering)
     return CL.argmax_lastdim(logits, tail="conv")

@@ -261,7 +261,13 @@ class ENet(nn.Module):
         argmax_tail="resize" (= plain jnp.argmax) on the phase logits: the
         packed-key argmax pushes ENet's b64 graph over the TPU compile
         helper's ceiling (HTTP 500), and the phase conv is a cheap producer
-        here, so naive costs nothing (189.7 img/s b64 measured)."""
+        here, so naive costs nothing (189.7 img/s b64 measured).
+
+        ENet caveat: __call__ pins the head to the zero_insert lowering
+        while this path evaluates the same math via the subpixel phase
+        conv — different floating-point association, so in bf16 argmax may
+        differ at near-tie pixels (both are valid roundings; f32 parity is
+        exact and tested)."""
         return subpixel_predict_tail(self.fullconv,
                                      scope.child("fullconv"),
                                      self.features(scope, x),

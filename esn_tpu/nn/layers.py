@@ -51,9 +51,15 @@ class Conv(Module):
 
     def __call__(self, scope: Scope, x):
         w, b = self.params(scope)
+        kw = self.kernel[1]
+        pw = _pair(self.padding)[1]
+        dw = _pair(self.dilation)[1]
         if (os.environ.get("ESN_TPU_AUTOFOLD", "0") == "1"
                 and not scope.is_init and self.groups == 1
-                and _pair(self.stride) == (1, 1) and self.in_ch <= 64):
+                and _pair(self.stride) == (1, 1) and self.in_ch <= 64
+                and 2 * pw == dw * (kw - 1)):
+            # SAME-W geometry required: folded_conv2d derives fold padding
+            # from tap positions assuming output width == input width.
             # EXPERIMENTAL, default off: per-conv lane folding pays a
             # fold/unfold relayout around every conv while the elementwise
             # ops between stay lane-padded — measured a net LOSS on ENet

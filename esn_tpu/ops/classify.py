@@ -33,7 +33,12 @@ def _argmax_two_pass(x: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[-1]
     m = jnp.max(x, axis=-1, keepdims=True)
     idx = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.min(jnp.where(x == m, idx, c), axis=-1).astype(jnp.int32)
+    # min() clamped to c-1: an all-NaN row never matches x == m, and the
+    # sentinel c would be an out-of-range label for downstream scatters
+    # (confusion_matrix). jnp.argmax returns 0 there; any in-range index
+    # is an acceptable answer for undefined input.
+    return jnp.minimum(jnp.min(jnp.where(x == m, idx, c), axis=-1),
+                       c - 1).astype(jnp.int32)
 
 
 def argmax_lastdim(x, tail: str = "conv"):
