@@ -9,10 +9,22 @@ workers. Here the whole pipeline is one XLA program on the accelerator:
   cropping C pixels from the scaled image == cropping C/s source pixels and
   resizing to C. Each scale in the discrete set gives a *static* source-crop
   shape, selected with ``lax.switch`` — no dynamic shapes anywhere.
-- the scale is drawn **per batch** (branch predicate must be scalar under
-  jit); crop offsets and mirror flags stay per image. This is the one
-  intentional distribution change vs the reference (per-image scale) — it
-  trades negligible augmentation diversity for a 6x smaller compiled program.
+- the scale is drawn **per batch** by default (branch predicate must be
+  scalar under jit); crop offsets and mirror flags stay per image. This is
+  an intentional distribution change vs the reference (per-image scale) —
+  it trades augmentation diversity for a len(scales)-times smaller compiled
+  program. ``per_image_scale=True`` (CLI ``--aug_mode reference``) restores
+  the reference's per-image draw by computing every scale branch and
+  selecting per image — the parity mode for mIoU reproduction (PARITY.md).
+- ``scales``: DEFAULT_SCALES starts at 0.75 (0.5 halves effective source
+  resolution and rarely helps the 512-1024px crops used here);
+  REFERENCE_SCALES includes 0.5 per SURVEY §2.2's ~0.5-2.0x set and is the
+  default in reference mode.
+- known residual difference in BOTH modes: the reference resamples
+  scale-then-crop (cv2.resize the whole image, then crop); we crop-then-
+  resize (same distribution over source windows, different resample
+  association — border pixels of a crop see slightly different bilinear
+  support). Documented in PARITY.md; not togglable without dynamic shapes.
 - normalization (mean subtraction, reference convention: BGR means, no std
   division) is fused into the same program.
 """
@@ -26,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_SCALES = (0.75, 1.0, 1.25, 1.5, 1.75, 2.0)
+REFERENCE_SCALES = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0)
 
 
 def normalize(images: jnp.ndarray, mean: jnp.ndarray,
@@ -66,15 +79,24 @@ def make_augment_fn(*, crop_hw: Tuple[int, int],
                     mean: np.ndarray,
                     std: Optional[np.ndarray] = None,
                     ignore_label: int = 255,
-                    scales: Sequence[float] = DEFAULT_SCALES,
+                    scales: Optional[Sequence[float]] = None,
                     random_scale: bool = True,
-                    random_mirror: bool = True):
+                    random_mirror: bool = True,
+                    per_image_scale: bool = False):
     """Build ``augment(rng, images_u8, labels) -> (images_f32, labels)``.
 
     Output is always (B, crop_h, crop_w, 3) float32 / (B, crop_h, crop_w)
     int32 — static regardless of the sampled scale.
+
+    ``per_image_scale=True`` is the reference-faithful mode: each image
+    draws its own scale (reference __getitem__ [R: dataset/*.py]). Under
+    jit this computes every scale branch for the whole batch and selects
+    per image — ~len(scales)x the augmentation FLOPs, still cheap next to
+    a train step; use for mIoU-parity runs (PARITY.md).
     """
     ch, cw = crop_hw
+    if scales is None:
+        scales = REFERENCE_SCALES if per_image_scale else DEFAULT_SCALES
     sh_list = [1.0] if not random_scale else list(scales)
     # source-crop size per scale (crop C at scale s == crop round(C/s) source px)
     src_sizes = [(int(round(ch / s)), int(round(cw / s))) for s in sh_list]
@@ -105,6 +127,18 @@ def make_augment_fn(*, crop_hw: Tuple[int, int],
         labels = labels.astype(jnp.int32)
         if len(branches) == 1:
             x, y = branches[0](x, labels, k_crop)
+        elif per_image_scale:
+            # reference-faithful: per-image scale. All branches run (each
+            # with independent crop offsets drawn for ITS valid range),
+            # then each image keeps its drawn branch.
+            b = x.shape[0]
+            idx = jax.random.randint(k_scale, (b,), 0, len(branches))
+            outs = [br(x, labels, jax.random.fold_in(k_crop, k))
+                    for k, br in enumerate(branches)]
+            xs = jnp.stack([o[0] for o in outs])   # (K, B, ch, cw, 3)
+            ys = jnp.stack([o[1] for o in outs])   # (K, B, ch, cw)
+            row = jnp.arange(b)
+            x, y = xs[idx, row], ys[idx, row]
         else:
             idx = jax.random.randint(k_scale, (), 0, len(branches))
             x, y = jax.lax.switch(idx, branches, x, labels, k_crop)

@@ -49,6 +49,7 @@ def _make_dataset(root, dataset, split, spec, synthetic_len, resize_hw=None,
 def build_dataset_train(dataset: str, input_size: Tuple[int, int],
                         batch_size: int, train_type: str = "train",
                         random_scale: bool = True, random_mirror: bool = True,
+                        aug_mode: str = "batch",
                         num_workers: int = 4, root: str = DEFAULT_ROOT,
                         synthetic_len: int = 64,
                         val_size: Optional[Tuple[int, int]] = None,
@@ -90,7 +91,8 @@ def build_dataset_train(dataset: str, input_size: Tuple[int, int],
     augment_fn = make_augment_fn(
         crop_hw=tuple(input_size), source_hw=source_hw,
         mean=datas["mean"], ignore_label=spec.ignore_label,
-        random_scale=random_scale, random_mirror=random_mirror)
+        random_scale=random_scale, random_mirror=random_mirror,
+        per_image_scale=(aug_mode == "reference"))
     eval_transform = make_eval_transform(mean=datas["mean"])
     return datas, train_loader, val_loader, augment_fn, eval_transform
 

@@ -231,7 +231,18 @@ class DownsamplerConcat(nn.Module):
     def __call__(self, scope, x):
         y = scope("conv", self.conv, x)
         if self.concat_pool:
-            y = jnp.concatenate([y, P.max_pool2d(x, 2, 2)], axis=-1)
+            from ..nn.layers import _s2d_stem_enabled
+            if (_s2d_stem_enabled(scope)
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                # phase-max from the space-to-depth form: shares the conv's
+                # s2d relayout (XLA CSE) and runs 4*C-lane dense instead of
+                # a C-lane reduce_window
+                from ..ops import s2d as S
+                pool = S.s2d_max_pool_2x2(S.space_to_depth(x, 2, 2),
+                                          x.shape[-1])
+            else:
+                pool = P.max_pool2d(x, 2, 2)
+            y = jnp.concatenate([y, pool], axis=-1)
         return scope("post", self.post, y)
 
 

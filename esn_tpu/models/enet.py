@@ -42,7 +42,16 @@ class InitialBlock(nn.Module):
 
     def __call__(self, scope, x):
         main = scope("conv", self.conv, x)
-        pooled = P.max_pool2d(x, 2, 2)
+        from ..nn.layers import _s2d_stem_enabled
+        if (_s2d_stem_enabled(scope)
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            # share the conv's space-to-depth relayout (blocks.py
+            # DownsamplerConcat has the rationale)
+            from ..ops import s2d as S
+            pooled = S.s2d_max_pool_2x2(S.space_to_depth(x, 2, 2),
+                                        x.shape[-1])
+        else:
+            pooled = P.max_pool2d(x, 2, 2)
         y = jnp.concatenate([main, pooled], axis=-1)
         y = scope("bn", self.bn, y)
         return scope("act", self.act, y)

@@ -60,18 +60,32 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def pad_batch_to_devices(batch, n_devices: int):
-    """Pad the leading dim up to a multiple of n_devices (numpy, host-side).
+def pad_batch_to(batch, target_b: int):
+    """Pad every array's leading dim up to exactly ``target_b`` (host-side
+    numpy, edge mode). Non-array values pass through untouched.
 
-    Returns (padded_batch, real_count). Needed for the tail batch of an
-    epoch when drop_last=False.
+    Returns (padded_batch, real_count). Used for the tail batch of an epoch
+    when drop_last=False — padding to one FIXED batch shape means eval
+    compiles once per resolution, and padded rows are masked out of the
+    confusion matrix via the batch's "valid" count (train/step.py).
     """
     def pad(x):
-        b = x.shape[0]
-        rem = (-b) % n_devices
-        if rem == 0:
+        if not isinstance(x, np.ndarray):
             return x
-        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        b = x.shape[0]
+        assert b <= target_b, f"batch {b} exceeds pad target {target_b}"
+        if b == target_b:
+            return x
+        pad_width = [(0, target_b - b)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, pad_width, mode="edge")
-    first = jax.tree_util.tree_leaves(batch)[0]
-    return jax.tree_util.tree_map(pad, batch), first.shape[0]
+    first = next(v for v in jax.tree_util.tree_leaves(batch)
+                 if isinstance(v, np.ndarray))
+    return {k: pad(v) for k, v in batch.items()}, first.shape[0]
+
+
+def pad_batch_to_devices(batch, n_devices: int):
+    """Pad the leading dim up to a multiple of n_devices. See pad_batch_to."""
+    first = next(v for v in jax.tree_util.tree_leaves(batch)
+                 if isinstance(v, np.ndarray))
+    b = first.shape[0]
+    return pad_batch_to(batch, b + ((-b) % n_devices))

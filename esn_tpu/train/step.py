@@ -129,10 +129,18 @@ def make_eval_step(model: nn.Module, num_classes: int, *,
     Confusion matrix accumulates on device; under a mesh the bincount is a
     global reduction (the psum the reference did on a multiprocessing.Pool
     [R: utils/metric/metric.py :: get_iou]).
-    """
 
-    @jax.jit
-    def eval_step(variables, batch):
+    If batch carries ``"valid"`` (int scalar), only the first ``valid`` rows
+    count toward the confusion matrix — the padded tail rows of a
+    fixed-shape eval batch (parallel/mesh.py::pad_batch_to) are masked to
+    ``ignore_index``. The count is traced, so one compile serves every tail
+    size. ``eval_step.trace_count()`` reports how many times the step has
+    been traced (== compiled); tests pin it to 1 per resolution.
+    """
+    traces = {"n": 0}
+
+    def _eval_step(variables, batch):
+        traces["n"] += 1  # runs at trace time only: counts compilations
         # model.predict fuses the prediction head where possible (subpixel
         # argmax before depth-to-space for convT tails); default is
         # argmax(logits) with the tail-appropriate lowering. Exact either
@@ -140,9 +148,19 @@ def make_eval_step(model: nn.Module, num_classes: int, *,
         pred = nn.apply(model, variables,
                         batch["image"].astype(compute_dtype), train=False,
                         method="predict")
-        cm = confusion_matrix(pred, batch["label"], num_classes, ignore_index)
+        labels = batch["label"]
+        if "valid" in batch:
+            row = jax.lax.broadcasted_iota(jnp.int32, labels.shape, 0)
+            labels = jnp.where(row < batch["valid"], labels, ignore_index)
+        cm = confusion_matrix(pred, labels, num_classes, ignore_index)
         return pred, cm
 
+    jitted = jax.jit(_eval_step)
+
+    def eval_step(variables, batch):
+        return jitted(variables, batch)
+
+    eval_step.trace_count = lambda: traces["n"]
     return eval_step
 
 

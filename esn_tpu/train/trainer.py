@@ -51,6 +51,7 @@ class TrainConfig:
     loss: str = "ce"            # ce | label_smoothing | ohem | focal | lovasz
     random_scale: bool = True
     random_mirror: bool = True
+    aug_mode: str = "batch"     # batch | reference (per-image scale, PARITY.md)
     num_workers: int = 4
     train_type: str = "train"   # train | trainval
     resume: str = ""
@@ -91,7 +92,8 @@ class Trainer:
          self.eval_transform) = data_builders.build_dataset_train(
             cfg.dataset, cfg.input_size, cfg.batch_size,
             train_type=cfg.train_type, random_scale=cfg.random_scale,
-            random_mirror=cfg.random_mirror, num_workers=cfg.num_workers,
+            random_mirror=cfg.random_mirror, aug_mode=cfg.aug_mode,
+            num_workers=cfg.num_workers,
             root=cfg.data_root, synthetic_len=cfg.synthetic_len,
             val_size=cfg.val_size, synthetic_hw=cfg.synthetic_hw)
 
@@ -228,16 +230,14 @@ class Trainer:
         return mean_loss, float(lr)
 
     def validate(self) -> Tuple[np.ndarray, float]:
-        cm = np.zeros((self.spec.num_classes,) * 2, np.int64)
+        """Mesh-sharded validation: every batch padded to one fixed shape
+        (single eval compile per resolution) and sharded over the mesh's
+        data axis — on a v5e-8 validation uses all 8 chips."""
+        from .evaluation import run_eval
         variables = {"params": self.state.params, "stats": self.state.stats}
-        for batch in self.val_loader:
-            images = self.eval_transform(jnp.asarray(batch["image"]))
-            if "label" not in batch:
-                continue
-            _, cm_b = self.eval_step(
-                variables, {"image": images,
-                            "label": jnp.asarray(batch["label"])})
-            cm += np.asarray(cm_b, np.int64)
+        cm = run_eval(self.eval_step, variables, self.val_loader,
+                      self.eval_transform, self.spec.num_classes,
+                      mesh=self.mesh)
         iou, miou = iou_from_confusion(jnp.asarray(cm))
         return np.asarray(iou), float(miou)
 

@@ -17,7 +17,16 @@ def parse_args(argv=None):
                    choices=["cityscapes", "camvid"])
     p.add_argument("--checkpoint", default="")
     p.add_argument("--best", action="store_true",
-                   help="sweep all checkpoints in the checkpoint's directory")
+                   help="sweep all checkpoints in the run dir (from "
+                        "--checkpoint's directory, or derived from "
+                        "--savedir/--batch_size/--train_type like train.py)")
+    p.add_argument("--savedir", default="./checkpoint",
+                   help="train.py savedir, for --best without --checkpoint")
+    p.add_argument("--train_type", default="train",
+                   choices=["train", "trainval"])
+    p.add_argument("--train_batch_size", type=int, default=8,
+                   help="batch size of the training run being swept "
+                        "(names the run dir), for --best without --checkpoint")
     p.add_argument("--save", action="store_true",
                    help="save colorized predictions")
     p.add_argument("--save_seg_dir", default="./result")
@@ -33,28 +42,33 @@ def parse_args(argv=None):
 
 
 def evaluate(model, variables, loader, eval_transform, spec, *,
-             save_dir=None, dataset="camvid", compute_dtype=None):
+             save_dir=None, dataset="camvid", compute_dtype=None, mesh=None,
+             eval_step=None):
     import jax.numpy as jnp
     import numpy as np
     from esn_tpu.data import palettes
+    from esn_tpu.parallel import mesh as meshlib
+    from esn_tpu.train.evaluation import run_eval
     from esn_tpu.train.metrics import iou_from_confusion
     from esn_tpu.train.step import make_eval_step
 
-    eval_step = make_eval_step(
-        model, spec.num_classes, ignore_index=spec.ignore_label,
-        compute_dtype=compute_dtype or jnp.float32)
-    cm = np.zeros((spec.num_classes,) * 2, np.int64)
-    for batch in loader:
-        images = eval_transform(jnp.asarray(batch["image"]))
-        pred, cm_b = eval_step(
-            variables, {"image": images, "label": jnp.asarray(batch["label"])})
-        cm += np.asarray(cm_b, np.int64)
-        if save_dir:
-            for i, name in enumerate(batch["name"]):
-                palettes.save_predict(
-                    np.asarray(pred[i]), np.asarray(batch["label"][i]),
-                    name, dataset, save_dir, output_grey=False,
-                    output_color=True)
+    if mesh is None:
+        mesh = meshlib.make_mesh()  # all devices on the data axis
+    if eval_step is None:
+        eval_step = make_eval_step(
+            model, spec.num_classes, ignore_index=spec.ignore_label,
+            compute_dtype=compute_dtype or jnp.float32)
+
+    per_image = None
+    if save_dir:
+        def per_image(i, pred_hw, batch):
+            palettes.save_predict(
+                pred_hw, np.asarray(batch["label"][i]),
+                batch["name"][i], dataset, save_dir, output_grey=False,
+                output_color=True)
+
+    cm = run_eval(eval_step, variables, loader, eval_transform,
+                  spec.num_classes, mesh=mesh, per_image=per_image)
     iou, miou = iou_from_confusion(jnp.asarray(cm))
     return np.asarray(iou), float(miou)
 
@@ -83,9 +97,19 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(0), sample)
 
     candidates = []
-    if args.best and args.checkpoint:
-        candidates = [p for _, p in
-                      ckpt.list_checkpoints(os.path.dirname(args.checkpoint))]
+    if args.best:
+        if args.checkpoint:
+            run_dir = os.path.dirname(args.checkpoint)
+        else:
+            # reference --best sweeps from the run config alone [R: test.py]:
+            # reconstruct train.py's savedir layout {ds}/{model}bs{B}gpu{N}_{t}
+            run_dir = os.path.join(
+                args.savedir, args.dataset,
+                f"{args.model}bs{args.train_batch_size}"
+                f"gpu{jax.device_count()}_{args.train_type}")
+        candidates = [p for _, p in ckpt.list_checkpoints(run_dir)]
+        if not candidates:
+            print(f"=> --best: no checkpoints found in {run_dir}")
     elif args.checkpoint:
         candidates = [args.checkpoint]
 
@@ -93,11 +117,21 @@ def main(argv=None):
         args.compute_dtype is None and jax.default_backend() == "tpu")) \
         else jnp.float32
 
+    # one mesh + one jitted eval step shared across the whole sweep — a
+    # --best sweep over N checkpoints compiles once, not N times
+    from esn_tpu.parallel import mesh as meshlib
+    from esn_tpu.train.step import make_eval_step
+    mesh = meshlib.make_mesh()
+    eval_step = make_eval_step(model, spec.num_classes,
+                               ignore_index=spec.ignore_label,
+                               compute_dtype=dtype)
+
     if not candidates:
         print("=> no checkpoint given; evaluating random init")
         iou, miou = evaluate(model, variables, loader, eval_transform, spec,
                              save_dir=args.save_seg_dir if args.save else None,
-                             dataset=args.dataset, compute_dtype=dtype)
+                             dataset=args.dataset, compute_dtype=dtype,
+                             mesh=mesh, eval_step=eval_step)
         _report(iou, miou, args.dataset)
         return 0
 
@@ -106,7 +140,8 @@ def main(argv=None):
         vars_i, meta = ckpt.load_variables(path, variables)
         iou, miou = evaluate(model, vars_i, loader, eval_transform, spec,
                              save_dir=args.save_seg_dir if args.save else None,
-                             dataset=args.dataset, compute_dtype=dtype)
+                             dataset=args.dataset, compute_dtype=dtype,
+                             mesh=mesh, eval_step=eval_step)
         print(f"=> {os.path.basename(path)} (epoch {meta.get('epoch')}): "
               f"mIoU {miou:.4f}")
         if miou > best[1]:

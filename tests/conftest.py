@@ -29,3 +29,34 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# quick/slow tiers (VERDICT r1 item 10): `pytest -m quick` < 5 min on this
+# 1-core box; `-m slow` is the compile-heavy remainder (zoo contract sweep,
+# convergence, e2e CLI, spatial sharding). Assignments from the measured
+# --durations=0 of the full suite (r2): every file below has multi-minute
+# items; named exceptions keep one fast smoke per area in the quick tier.
+SLOW_FILES = {
+    "test_convergence.py",
+    "test_e2e_cli.py",
+    "test_profiling.py",
+    "test_spatial_sharding.py",
+    "test_models.py",
+}
+SLOW_TESTS = {
+    "test_builders_synthetic_fallback",                  # 100 s
+    "test_predict_matches_argmax_of_logits[unet]",       # 23 s
+    "test_predict_matches_argmax_of_logits[segnet]",     # 19 s
+    "test_predict_matches_argmax_of_logits[linknet]",    # 10 s
+    "test_predict_matches_argmax_of_logits[fastscnn]",   # 10 s
+    "test_conv_transpose_subpixel_matches_zero_insert",  # 12 s
+}
+QUICK_OVERRIDES = {"test_enet_jit_forward"}            # 14 s model smoke
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = getattr(item, "originalname", None) or item.name
+        slow = (item.fspath.basename in SLOW_FILES or base in SLOW_TESTS
+                or item.name in SLOW_TESTS) and base not in QUICK_OVERRIDES
+        item.add_marker(pytest.mark.slow if slow else pytest.mark.quick)

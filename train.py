@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--use_focal", action="store_true")
     p.add_argument("--random_mirror", type=bool, default=True)
     p.add_argument("--random_scale", type=bool, default=True)
+    p.add_argument("--aug_mode", default="batch",
+                   choices=["batch", "reference"],
+                   help="'reference' = per-image scale draw with the 0.5-2.0"
+                        " scale set (mIoU-parity mode, see PARITY.md);"
+                        " 'batch' = per-batch scale (default, faster)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--train_type", default="train",
                    choices=["train", "trainval"])
@@ -95,7 +100,8 @@ def config_from_args(args):
         poly_exp=args.poly_exp, warmup_iters=args.warmup_iters,
         warmup_factor=args.warmup_factor, weight_decay=args.weight_decay,
         loss=loss, random_scale=args.random_scale,
-        random_mirror=args.random_mirror, num_workers=args.num_workers,
+        random_mirror=args.random_mirror, aug_mode=args.aug_mode,
+        num_workers=args.num_workers,
         train_type=args.train_type, resume=args.resume,
         savedir=args.savedir, log_file=args.logFile, seed=args.seed,
         val_epochs=args.val_epochs, compute_dtype=dtype,
