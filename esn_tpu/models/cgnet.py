@@ -11,9 +11,12 @@ global-context unit (FGlo). Stages: M=3 blocks at 1/4 (d=2), N=21 at 1/8
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops import folding
 from ..ops import pooling as P
 from ..ops import resize as R
 from .blocks import BNAct, ConvBNAct, InputInjection, SEGate
@@ -31,6 +34,8 @@ class CGBlock(nn.Module):
 
     def __init__(self, ch: int, dilation: int = 2, reduction: int = 16):
         half = ch // 2
+        self.ch = ch
+        self.dilation_ = dilation
         self.reduce = ConvBNAct(ch, half, 1, act="prelu", bn_eps=BN_EPS)
         self.loc = nn.Conv(half, half, 3, padding=1, groups=half, bias=False)
         self.sur = nn.Conv(half, half, 3, padding=dilation,
@@ -39,12 +44,58 @@ class CGBlock(nn.Module):
         self.glo = FGlo(ch, reduction)
 
     def __call__(self, scope, x):
+        f = 1
+        # ESN_TPU_FOLD_DW default OFF: the shift-FMA folded depthwise
+        # path measured SLOWER at inference than XLA's native depthwise
+        # lowering despite full lane density (cgnet 83.9 -> 52.8, dabnet
+        # 231.1 -> 183.7, fpenet 84.3 -> 57.0, espnetv2 68.5 -> 37.9
+        # img/s b-best 2048x1024 bf16) — the 9-tap re-read pattern costs
+        # more HBM traffic than the lane padding it removes. Kept as an
+        # exact, tested, opt-in alternative.
+        if os.environ.get("ESN_TPU_FOLD_DW", "0") == "1" and not scope.is_init:
+            f = folding.fold_factor(self.ch // 2, x.shape[2])
+        if f > 1:
+            return self._folded(scope, x, f)
         y = scope("reduce", self.reduce, x)
         loc = scope("loc", self.loc, y)
         sur = scope("sur", self.sur, y)
         y = scope("join", self.join, jnp.concatenate([loc, sur], axis=-1))
         y = scope("glo", self.glo, y)
         return x + y
+
+    def _folded(self, scope, x, f):
+        """Lane-folded execution (ops.folding): same parameters, same math.
+        The block's bottleneck is its dual depthwise 3x3 at ch/2 = 32-64
+        channels (reference ChannelWiseConv / ChannelWiseDilatedConv [R:
+        model/CGNet.py]) — 50-75% lane-padding waste on the VPU. W folds
+        into channels once per block (a free NHWC reshape), the depthwise
+        pair runs at full density (folded_depthwise_conv), and BN / PReLU /
+        FGlo apply fold-aware. Exact vs the plain path (tested)."""
+        half = self.ch // 2
+        d = self.dilation_
+        xf = folding.fold_w(x, f)
+        rs = scope.child("reduce")
+        w, b = self.reduce.conv.params(rs.child("conv"))
+        y = folding.folded_conv2d(xf, w, f, bias=b)
+        y = self.reduce.bn.folded_apply(rs.child("bn"), y, f)
+        y = self.reduce.act.folded_apply(rs.child("act"), y, f)
+        wl, _ = self.loc.params(scope.child("loc"))
+        ws, _ = self.sur.params(scope.child("sur"))
+        loc = folding.folded_depthwise_conv(y, wl[:, :, 0], f,
+                                            padding=(1, 1))
+        sur = folding.folded_depthwise_conv(y, ws[:, :, 0], f,
+                                            dilation=(d, d), padding=(d, d))
+        # interleaved concat == fold_w(concat([loc, sur])): slot-major over
+        # the joined 2*half channels
+        bsz, h, q = loc.shape[:3]
+        j = jnp.concatenate([loc.reshape(bsz, h, q, f, half),
+                             sur.reshape(bsz, h, q, f, half)], axis=-1) \
+            .reshape(bsz, h, q, f * self.ch)
+        js = scope.child("join")
+        j = self.join.bn.folded_apply(js.child("bn"), j, f)
+        j = self.join.act.folded_apply(js.child("act"), j, f)
+        j = self.glo.folded_apply(scope.child("glo"), j, f)
+        return folding.unfold_w(xf + j, f)
 
 
 class CGBlockDown(nn.Module):

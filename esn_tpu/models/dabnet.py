@@ -10,9 +10,12 @@ injections at 1/2, 1/4, 1/8.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops import folding
 from ..ops import pooling as P
 from ..ops import resize as R
 from .blocks import BNAct, ConvBNAct, InputInjection
@@ -25,6 +28,8 @@ class DABModule(nn.Module):
     def __init__(self, ch: int, dilation: int = 2):
         half = ch // 2
         d = dilation
+        self.ch = ch
+        self.dilation_ = d
         self.pre = BNAct(ch, act="prelu", bn_eps=BN_EPS)
         self.reduce = ConvBNAct(ch, half, 3, act="prelu", bn_eps=BN_EPS)
         # plain depthwise asymmetric pair
@@ -42,6 +47,18 @@ class DABModule(nn.Module):
         self.expand = nn.Conv(half, ch, 1, bias=False)
 
     def __call__(self, scope, x):
+        f = 1
+        # ESN_TPU_FOLD_DW default OFF: the shift-FMA folded depthwise
+        # path measured SLOWER at inference than XLA's native depthwise
+        # lowering despite full lane density (cgnet 83.9 -> 52.8, dabnet
+        # 231.1 -> 183.7, fpenet 84.3 -> 57.0, espnetv2 68.5 -> 37.9
+        # img/s b-best 2048x1024 bf16) — the 9-tap re-read pattern costs
+        # more HBM traffic than the lane padding it removes. Kept as an
+        # exact, tested, opt-in alternative.
+        if os.environ.get("ESN_TPU_FOLD_DW", "0") == "1" and not scope.is_init:
+            f = folding.fold_factor(self.ch // 2, x.shape[2])
+        if f > 1:
+            return self._folded(scope, x, f)
         y = scope("pre", self.pre, x)
         y = scope("reduce", self.reduce, y)
         a = scope("a2", self.a2, scope("a1", self.a1, y))
@@ -50,6 +67,48 @@ class DABModule(nn.Module):
         b = scope("b_post", self.b_post, b)
         y = scope("expand", self.expand, a + b)
         return x + y
+
+    def _folded(self, scope, x, f):
+        """Lane-folded execution (ops.folding; CGBlock._folded rationale).
+        The asymmetric depthwise pairs at ch/2 = 32-64 channels (reference
+        model/DABNet.py depth_wise convs [R]) run at full 128-lane density:
+        (3,1) taps are slot-uniform by construction, (1,3) dilated taps are
+        slot-uniform whenever f | d (d = 4/8/16 at stage2), and the d=1/
+        d=2 pairs take the mixed-slot slice path. Exact (tested)."""
+        half = self.ch // 2
+        d = self.dilation_
+
+        def bnact(mod, s, y):
+            y = mod.bn.folded_apply(s.child("bn"), y, f)
+            return mod.act.folded_apply(s.child("act"), y, f)
+
+        xf = folding.fold_w(x, f)
+        y = bnact(self.pre, scope.child("pre"), xf)
+        rs = scope.child("reduce")
+        w, b = self.reduce.conv.params(rs.child("conv"))
+        y = folding.folded_conv2d(y, w, f, padding=(1, 1), bias=b)
+        y = self.reduce.bn.folded_apply(rs.child("bn"), y, f)
+        y = self.reduce.act.folded_apply(rs.child("act"), y, f)
+
+        wa1, _ = self.a1.params(scope.child("a1"))
+        wa2, _ = self.a2.params(scope.child("a2"))
+        a = folding.folded_depthwise_conv(y, wa1[:, :, 0], f,
+                                          padding=(1, 0))
+        a = folding.folded_depthwise_conv(a, wa2[:, :, 0], f,
+                                          padding=(0, 1))
+        a = bnact(self.a_post, scope.child("a_post"), a)
+
+        wb1, _ = self.b1.params(scope.child("b1"))
+        wb2, _ = self.b2.params(scope.child("b2"))
+        bb = folding.folded_depthwise_conv(y, wb1[:, :, 0], f,
+                                           dilation=(d, 1), padding=(d, 0))
+        bb = folding.folded_depthwise_conv(bb, wb2[:, :, 0], f,
+                                           dilation=(1, d), padding=(0, d))
+        bb = bnact(self.b_post, scope.child("b_post"), bb)
+
+        we, _ = self.expand.params(scope.child("expand"))
+        y = folding.folded_conv2d(a + bb, we, f)
+        return folding.unfold_w(xf + y, f)
 
 
 class DownSamplingBlock(nn.Module):

@@ -41,16 +41,21 @@ class InitialBlock(nn.Module):
         self.act = nn.PReLU(out_ch)
 
     def __call__(self, scope, x):
-        main = scope("conv", self.conv, x)
         from ..nn.layers import _s2d_stem_enabled
+        from ..ops import s2d as S
+        w, b = self.conv.params(scope.child("conv"))
         if (_s2d_stem_enabled(scope)
-                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-            # share the conv's space-to-depth relayout (blocks.py
-            # DownsamplerConcat has the rationale)
-            from ..ops import s2d as S
-            pooled = S.s2d_max_pool_2x2(S.space_to_depth(x, 2, 2),
-                                        x.shape[-1])
+                and S.s2d_eligible(x.shape, w.shape, (2, 2), (1, 1),
+                                   (1, 1), 1)):
+            # space-to-depth stem: one relayout shared by the dense
+            # stride-1 conv and the phase-max pool (blocks.py
+            # DownsamplerConcat has the rationale + measurements)
+            xs = S.space_to_depth(x, 2, 2)
+            main = S.s2d_conv_on_folded(xs, w, stride=(2, 2),
+                                        padding=(1, 1), bias=b)
+            pooled = S.s2d_max_pool_2x2(xs, x.shape[-1])
         else:
+            main = scope("conv", self.conv, x)
             pooled = P.max_pool2d(x, 2, 2)
         y = jnp.concatenate([main, pooled], axis=-1)
         y = scope("bn", self.bn, y)

@@ -11,10 +11,13 @@ the full ESPNet adds a light transposed-conv decoder with level-wise skips.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .. import nn
 from ..ops import resize as R
+from ..ops.convolution import conv2d
 from .blocks import BNAct, ConvBNAct, InputInjection, subpixel_predict_tail
 from .registry import register
 
@@ -25,10 +28,11 @@ class ESPModule(nn.Module):
     """K-way dilated spatial pyramid with HFF; residual when shapes allow."""
 
     def __init__(self, in_ch: int, out_ch: int, *, stride: int = 1, k: int = 5,
-                 residual: bool = True):
+                 residual: bool = True, fused_hff: bool = False):
         d = out_ch // k
         d1 = out_ch - d * (k - 1)  # first branch absorbs the remainder
         self.k = k
+        self.fused_hff = fused_hff
         self.reduce = nn.Conv(in_ch, d, 3 if stride == 2 else 1,
                               stride=stride,
                               padding=1 if stride == 2 else 0, bias=False)
@@ -43,17 +47,71 @@ class ESPModule(nn.Module):
 
     def __call__(self, scope, x):
         y = scope("reduce", self.reduce, x)
-        outs = [scope(f"d{i}", b, y) for i, b in enumerate(self.branches)]
-        # hierarchical feature fusion: prefix-sum the dilated outputs
-        fused = [outs[0]]
-        acc = outs[1] if self.k > 1 else None
-        for i in range(1, self.k):
-            acc = outs[i] if i == 1 else acc + outs[i]
-            fused.append(acc)
-        y = jnp.concatenate(fused, axis=-1)
+        # per-model default (ctor): ON for ESPNet (116.7 -> 134.4 img/s b64
+        # 2048x1024 bf16), OFF for ESPNet-C — the tiled-kernel graph pushes
+        # its b64 eval graph over the compile-helper ceiling (b16 fallback
+        # measured 84.3 vs 140.2 plain). Env forces: 1 = on, 0 = off.
+        mode = os.environ.get("ESN_TPU_ESP_FUSED_HFF", "")
+        on = self.fused_hff if mode == "" else mode == "1"
+        if on and not scope.is_init:
+            y = self._fused_hff(scope, y)
+        else:
+            outs = [scope(f"d{i}", b, y)
+                    for i, b in enumerate(self.branches)]
+            # hierarchical feature fusion: prefix-sum the dilated outputs
+            fused = [outs[0]]
+            acc = outs[1] if self.k > 1 else None
+            for i in range(1, self.k):
+                acc = outs[i] if i == 1 else acc + outs[i]
+                fused.append(acc)
+            y = jnp.concatenate(fused, axis=-1)
         if self.residual:
             y = y + x
         return scope("post", self.post, y)
+
+    def _fused_hff(self, scope, y):
+        """HFF + concat folded into the branch kernels.
+
+        The reference computes K narrow dilated convs (d_out = 12-28 ch),
+        prefix-sums them (HFF de-gridding [R: model/ESPNet.py
+        DilatedParllelResidualBlockB]) and concatenates. On the MXU a
+        25-channel conv output wastes 4/5 of the result tile, and the
+        prefix chain + concat are extra HBM round trips. Because everything
+        between the branch convs and the BN is linear, the concat of
+        prefix sums IS a sum of K full-width convs whose kernels place the
+        branch kernel in every concat block it reaches (branch 0 -> block
+        0; branch j>=1 -> blocks j..K-1). Same math, re-associated: each
+        conv runs with a dense 128-lane N dimension and the HFF/concat
+        vanish into the adds. Exact (tested, fp32); ~(K+1)/2 x nominal
+        FLOPs on ops that were N-padding-bound anyway.
+        """
+        blocks = []        # per-branch output channel ranges in the concat
+        off = 0
+        for b in self.branches:
+            blocks.append((off, off + b.out_ch))
+            off += b.out_ch
+        out_ch = off
+        acc = None
+        for j, br in enumerate(self.branches):
+            w, _ = br.params(scope.child(f"d{j}"))
+            lo = blocks[j][0]
+            hi = out_ch if j >= 1 else blocks[0][1]
+            # place the branch kernel into concat blocks [lo, hi) — for
+            # j >= 1 the kernel repeats in every downstream block (the
+            # prefix sums), realized by tiling along O
+            reps = (hi - lo) // br.out_ch
+            wj = jnp.concatenate(
+                [jnp.zeros(w.shape[:3] + (lo,), w.dtype),
+                 jnp.tile(w, (1, 1, 1, reps)),
+                 jnp.zeros(w.shape[:3] + (out_ch - hi,), w.dtype)], axis=-1)
+            d = br.dilation if isinstance(br.dilation, tuple) \
+                else (br.dilation,) * 2
+            p = br.padding if isinstance(br.padding, tuple) \
+                else (br.padding,) * 2
+            term = conv2d(y, wj, stride=(1, 1), padding=p, dilation=d,
+                          groups=1)
+            acc = term if acc is None else acc + term
+        return acc
 
 
 @register("espnet_c", "espnetc")
@@ -63,18 +121,21 @@ class ESPNetC(nn.Module):
     LOGITS_TAIL = "resize"
 
     def __init__(self, classes: int = 19, in_ch: int = 3, alpha2: int = 2,
-                 alpha3: int = 8):
+                 alpha3: int = 8, fused_hff: bool = False):
+        fh = fused_hff
         self.stem = ConvBNAct(in_ch, 16, 3, stride=2, act="prelu",
                               bn_eps=BN_EPS)
         self.inj1 = InputInjection(1)
         self.inj2 = InputInjection(2)
         self.b1 = BNAct(16 + in_ch, act="prelu", bn_eps=BN_EPS)
-        self.down1 = ESPModule(16 + in_ch, 64, stride=2, residual=False)
-        self.level2 = nn.Sequential(*[ESPModule(64, 64)
+        self.down1 = ESPModule(16 + in_ch, 64, stride=2, residual=False,
+                               fused_hff=fh)
+        self.level2 = nn.Sequential(*[ESPModule(64, 64, fused_hff=fh)
                                       for _ in range(alpha2)])
         self.b2 = BNAct(128 + in_ch, act="prelu", bn_eps=BN_EPS)
-        self.down2 = ESPModule(128 + in_ch, 128, stride=2, residual=False)
-        self.level3 = nn.Sequential(*[ESPModule(128, 128)
+        self.down2 = ESPModule(128 + in_ch, 128, stride=2, residual=False,
+                               fused_hff=fh)
+        self.level3 = nn.Sequential(*[ESPModule(128, 128, fused_hff=fh)
                                       for _ in range(alpha3)])
         self.b3 = BNAct(256, act="prelu", bn_eps=BN_EPS)
         self.head = nn.Conv(256, classes, 1, bias=False)
@@ -108,12 +169,13 @@ class ESPNet(nn.Module):
 
     def __init__(self, classes: int = 19, in_ch: int = 3, alpha2: int = 2,
                  alpha3: int = 8):
-        self.enc = ESPNetC(classes, in_ch, alpha2, alpha3)
+        self.enc = ESPNetC(classes, in_ch, alpha2, alpha3, fused_hff=True)
         c = classes
         self.proj3 = ConvBNAct(256, c, 1, act="prelu", bn_eps=BN_EPS)
         self.up3 = nn.ConvTranspose(c, c, 2, stride=2, bias=False)
         self.proj2 = ConvBNAct(128 + in_ch, c, 1, act="prelu", bn_eps=BN_EPS)
-        self.mix2 = ESPModule(2 * c, 2 * c, residual=False, k=4)
+        self.mix2 = ESPModule(2 * c, 2 * c, residual=False, k=4,
+                              fused_hff=True)
         self.up2 = nn.ConvTranspose(2 * c, c, 2, stride=2, bias=False)
         self.proj1 = ConvBNAct(16 + in_ch, c, 1, act="prelu", bn_eps=BN_EPS)
         self.mix1 = ConvBNAct(2 * c, c, 3, act="prelu", bn_eps=BN_EPS)

@@ -12,9 +12,12 @@ Seg head: PSP-style pooling on the deepest level + EESP fusion with the
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops import folding
 from ..ops import pooling as P
 from ..ops import resize as R
 from .blocks import BNAct, ConvBNAct, PyramidPooling
@@ -51,17 +54,61 @@ class EESP(nn.Module):
         y = scope("reduce", self.reduce, x)
         if self.stride == 2:
             y = P.avg_pool2d(y, 3, 2, 1)
-        outs = [scope(f"d{i}", b, y) for i, b in enumerate(self.branches)]
-        fused, acc = [outs[0]], None
-        for i in range(1, self.k):
-            acc = outs[i] if i == 1 else acc + outs[i]
-            fused.append(acc)
-        y = jnp.concatenate(fused, axis=-1)
-        y = scope("concat_bn", self.concat_bn, y)
+        f = 1
+        # ESN_TPU_FOLD_DW default OFF: the shift-FMA folded depthwise
+        # path measured SLOWER at inference than XLA's native depthwise
+        # lowering despite full lane density (cgnet 83.9 -> 52.8, dabnet
+        # 231.1 -> 183.7, fpenet 84.3 -> 57.0, espnetv2 68.5 -> 37.9
+        # img/s b-best 2048x1024 bf16) — the 9-tap re-read pattern costs
+        # more HBM traffic than the lane padding it removes. Kept as an
+        # exact, tested, opt-in alternative.
+        if (os.environ.get("ESN_TPU_FOLD_DW", "0") == "1" and not scope.is_init
+                and all(b.groups == b.in_ch == b.out_ch
+                        for b in self.branches)):
+            f = folding.fold_factor(self.branches[0].in_ch, y.shape[2])
+        if f > 1:
+            y = self._folded_branches(scope, y, f)
+        else:
+            outs = [scope(f"d{i}", b, y) for i, b in enumerate(self.branches)]
+            fused, acc = [outs[0]], None
+            for i in range(1, self.k):
+                acc = outs[i] if i == 1 else acc + outs[i]
+                fused.append(acc)
+            y = jnp.concatenate(fused, axis=-1)
+            y = scope("concat_bn", self.concat_bn, y)
         y = scope("expand", self.expand, y)
         if self.residual:
             y = y + x
         return scope("act", self.act, y)
+
+    def _folded_branches(self, scope, y, f):
+        """Lane-folded branch sector (ops.folding; CGBlock._folded
+        rationale): the k depthwise dilated 3x3 branches run on d =
+        out_ch/k = 8-64 channels (reference EESP in
+        model/ESPNet_v2/Model.py [R]) — up to 94% lane-padding waste. W
+        folds once; branches, HFF additive fusion and concat-BN run at
+        full density; the grouped 1x1s stay unfolded. Exact (tested)."""
+        d = self.branches[0].in_ch
+        yf = folding.fold_w(y, f)
+        outs = []
+        for i, br in enumerate(self.branches):
+            wb, _ = br.params(scope.child(f"d{i}"))
+            dil = br.dilation if isinstance(br.dilation, tuple) \
+                else (br.dilation,) * 2
+            outs.append(folding.folded_depthwise_conv(
+                yf, wb[:, :, 0], f, dilation=dil,
+                padding=(dil[0], dil[1])))
+        fused, acc = [outs[0]], None
+        for i in range(1, self.k):
+            acc = outs[i] if i == 1 else acc + outs[i]
+            fused.append(acc)
+        bsz, h, q = yf.shape[:3]
+        z = jnp.concatenate([o.reshape(bsz, h, q, f, d) for o in fused],
+                            axis=-1).reshape(bsz, h, q, f * self.k * d)
+        cs = scope.child("concat_bn")
+        z = self.concat_bn.bn.folded_apply(cs.child("bn"), z, f)
+        z = self.concat_bn.act.folded_apply(cs.child("act"), z, f)
+        return folding.unfold_w(z, f)
 
 
 class StridedEESP(nn.Module):

@@ -11,9 +11,12 @@ spatial attention from shallow).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops import folding
 from ..ops import pooling as P
 from ..ops import resize as R
 from .blocks import ConvBNAct, SEGate
@@ -27,6 +30,7 @@ class FPEBlock(nn.Module):
         mid = out_ch * t
         assert mid % scales == 0
         self.scales = scales
+        self.stride_ = stride
         self.g = mid // scales
         self.expand = ConvBNAct(in_ch, mid, 1, stride=stride, act="relu")
         self.dws = [ConvBNAct(self.g, self.g, 3, dilation=d, groups=self.g,
@@ -37,6 +41,19 @@ class FPEBlock(nn.Module):
         self.act = nn.Fn(nn.relu)
 
     def __call__(self, scope, x):
+        f = 1
+        # ESN_TPU_FOLD_DW default OFF: the shift-FMA folded depthwise
+        # path measured SLOWER at inference than XLA's native depthwise
+        # lowering despite full lane density (cgnet 83.9 -> 52.8, dabnet
+        # 231.1 -> 183.7, fpenet 84.3 -> 57.0, espnetv2 68.5 -> 37.9
+        # img/s b-best 2048x1024 bf16) — the 9-tap re-read pattern costs
+        # more HBM traffic than the lane padding it removes. Kept as an
+        # exact, tested, opt-in alternative.
+        if (os.environ.get("ESN_TPU_FOLD_DW", "0") == "1" and not scope.is_init
+                and self.stride_ == 1):
+            f = folding.fold_factor(self.g, x.shape[2])
+        if f > 1:
+            return self._folded(scope, x, f)
         y = scope("expand", self.expand, x)
         groups = [y[..., i * self.g:(i + 1) * self.g]
                   for i in range(self.scales)]
@@ -52,6 +69,54 @@ class FPEBlock(nn.Module):
         if self.use_res:
             y = x + y
         return nn.relu(y)
+
+    def _folded(self, scope, x, f):
+        """Lane-folded execution (ops.folding; CGBlock._folded rationale).
+        The in-block feature pyramid runs depthwise 3x3 convs on g =
+        mid/scales = 4-64 channel groups (reference model/FPENet.py
+        FPEBlock [R]) — at g=4 that is 3% lane density. W folds into
+        channels once; group slices come from the fold-layout reshape;
+        dilations with f | d are slot-uniform, the rest take the
+        mixed-slot slice path. Exact (tested)."""
+        g, mid = self.g, self.g * self.scales
+
+        def bnrelu(s, mod, y):
+            y = mod.bn.folded_apply(s.child("bn"), y, f)
+            return nn.relu(y)
+
+        xf = folding.fold_w(x, f)
+        es = scope.child("expand")
+        w, b = self.expand.conv.params(es.child("conv"))
+        y = folding.folded_conv2d(xf, w, f, bias=b)
+        y = bnrelu(es, self.expand, y)
+
+        bsz, h, q = y.shape[:3]
+        y5 = y.reshape(bsz, h, q, f, mid)
+        outs = []
+        prev = None
+        for i, dw in enumerate(self.dws):
+            grp = y5[..., i * g:(i + 1) * g].reshape(bsz, h, q, f * g)
+            inp = grp if prev is None else grp + prev
+            ds = scope.child(f"dw{i}")
+            wd, _ = dw.conv.params(ds.child("conv"))
+            d = dw.conv.dilation if isinstance(dw.conv.dilation, tuple) \
+                else (dw.conv.dilation,) * 2
+            prev = folding.folded_depthwise_conv(
+                inp, wd[:, :, 0], f, dilation=d,
+                padding=(d[0], d[1]))
+            prev = bnrelu(ds, dw, prev)
+            outs.append(prev)
+        # fold-layout concat: slot-major over the mid channels
+        y = jnp.concatenate([o.reshape(bsz, h, q, f, g) for o in outs],
+                            axis=-1).reshape(bsz, h, q, f * mid)
+        ps = scope.child("project")
+        wp, bp = self.project.conv.params(ps.child("conv"))
+        y = folding.folded_conv2d(y, wp, f, bias=bp)
+        y = self.project.bn.folded_apply(ps.child("bn"), y, f)
+        y = self.se.folded_apply(scope.child("se"), y, f)
+        if self.use_res:
+            y = xf + y
+        return folding.unfold_w(nn.relu(y), f)
 
 
 class MEU(nn.Module):

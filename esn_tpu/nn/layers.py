@@ -24,7 +24,14 @@ def _pair(v):
 
 def _s2d_stem_enabled(scope) -> bool:
     """ESN_TPU_S2D_STEM: 'train' (default) = s2d stem lowering in training
-    only; '1' = always; '0' = never. Never during init (shapes only)."""
+    only; '1' = always; '0' = never. Never during init (shapes only).
+
+    Consulted by the conv||pool concat stem blocks (models/blocks.py
+    DownsamplerConcat, models/enet.py InitialBlock), where the pool shares
+    the conv's relayout and the lowering measured a win (ERFNet full-res
+    train b4 +8.7%). Plain single-conv stems do NOT engage: generic
+    per-conv engagement measured a 20% training regression on Fast-SCNN
+    (118.3 vs 147.8 img/s b8 full-res)."""
     if scope.is_init:
         return False
     mode = os.environ.get("ESN_TPU_S2D_STEM", "train")
@@ -60,22 +67,6 @@ class Conv(Module):
 
     def __call__(self, scope: Scope, x):
         w, b = self.params(scope)
-        if _s2d_stem_enabled(scope):
-            # Space-to-depth stem lowering: stride-2 convs on tiny-channel
-            # (RGB) inputs rewritten as dense stride-1 convs on the s2d
-            # tensor — kills the 3->128-lane padding waste of full-res
-            # stems in the weight-grad (ops/s2d.py). Training-only by
-            # default: the weight-grad is where the 3->128 lane padding
-            # costs memory/bandwidth; the pure forward measured SLOWER
-            # under s2d (Fast-SCNN 2048x1024 b32 917 -> 774 img/s), so
-            # eval keeps the plain stride-2 lowering.
-            from ..ops import s2d as S
-            stride2 = _pair(self.stride)
-            pad2 = _pair(self.padding)
-            if S.s2d_eligible(x.shape, w.shape, stride2, pad2,
-                              _pair(self.dilation), self.groups):
-                return S.s2d_conv2d(x, w, stride=stride2, padding=pad2,
-                                    bias=b)
         kw = self.kernel[1]
         pw = _pair(self.padding)[1]
         dw = _pair(self.dilation)[1]

@@ -96,6 +96,61 @@ def folded_kernel(kernel: jnp.ndarray, f: int, *,
     return kf, (-tmin, tmax)
 
 
+def folded_depthwise_conv(x: jnp.ndarray, w: jnp.ndarray, f: int, *,
+                          dilation: Tuple[int, int] = (1, 1),
+                          padding: Tuple[int, int] = (0, 0),
+                          bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Depthwise conv on a W-folded tensor — full-lane VPU execution.
+
+    ``x``: (B, H, W/f, f*C) slot-major (``fold_w`` layout); ``w``:
+    (kh, kw, C) per-channel taps. Computes exactly
+    ``fold_w(depthwise_conv(unfold_w(x)), f)`` for a stride-1 SAME conv.
+
+    Depthwise convs never touch the MXU — they are VPU shift-FMA loops, so
+    at C=32/64 (CGNet/DABNet/FPENet context branches, reference
+    ChannelWiseDilatedConv [R: model/CGNet.py]) half to 3/4 of every
+    128-wide vector op is padding. Here the conv is written as kh*kw
+    shifted multiply-adds on the folded tensor (f*C lanes, dense); a
+    W-tap whose offset is not a multiple of f reads its neighbors from a
+    rolled slot — a static channel-block slice, fused by XLA into the
+    same loop. FLOPs are unchanged; lane density and HBM tiles improve f x.
+
+    Requires SAME geometry in both axes (every zoo depthwise conv is SAME):
+    ``2*p == d*(k-1)`` per axis.
+    """
+    b, h, q, fc = x.shape
+    kh, kw, c = w.shape
+    assert fc == f * c, (x.shape, w.shape, f)
+    dh, dw = dilation
+    ph, pw = padding
+    assert 2 * ph == dh * (kh - 1) and 2 * pw == dw * (kw - 1), \
+        "folded_depthwise_conv requires SAME geometry"
+    offs = [dw * tw - pw for tw in range(kw)]
+    qlo = max(0, -min((g + o) // f for o in offs for g in range(f)))
+    qhi = max(0, max((g + o) // f for o in offs for g in range(f)))
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (qlo, qhi), (0, 0)))
+    acc = None
+    for th in range(kh):
+        hs = slice(th * dh, th * dh + h)
+        for tw in range(kw):
+            o = dw * tw - pw
+            if o % f == 0:
+                t = o // f
+                term = xp[:, hs, qlo + t: qlo + t + q, :]
+            else:
+                pieces = []
+                for g in range(f):
+                    s, t = (g + o) % f, (g + o) // f
+                    pieces.append(
+                        xp[:, hs, qlo + t: qlo + t + q, s * c:(s + 1) * c])
+                term = jnp.concatenate(pieces, -1)
+            contrib = term * jnp.tile(w[th, tw], f).astype(x.dtype)
+            acc = contrib if acc is None else acc + contrib
+    if bias is not None:
+        acc = acc + jnp.tile(bias, f).astype(acc.dtype)
+    return acc
+
+
 def folded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, f: int, *,
                   dilation: Tuple[int, int] = (1, 1),
                   padding: Tuple[int, int] = (0, 0),

@@ -72,6 +72,21 @@ def s2d_kernel(kernel: jnp.ndarray, stride: Tuple[int, int],
     return kf, ((-tmin_h, tmax_h), (-tmin_w, tmax_w))
 
 
+def s2d_conv_on_folded(xs: jnp.ndarray, kernel: jnp.ndarray, *,
+                       stride: Tuple[int, int], padding: Tuple[int, int],
+                       bias: Optional[jnp.ndarray] = None,
+                       custom_grad: bool = True) -> jnp.ndarray:
+    """Like :func:`s2d_conv2d` but takes the ALREADY-folded input
+    (``space_to_depth(x, sh, sw)``) so a conv||pool concat stem can share
+    one relayout between the conv and the phase-max pool."""
+    kf, pads = s2d_kernel(kernel, stride, padding)
+    core = _conv_core if custom_grad else _conv_raw
+    y = core(xs, kf, (1, 1), pads, (1, 1), 1)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def s2d_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
                stride: Tuple[int, int], padding: Tuple[int, int],
                bias: Optional[jnp.ndarray] = None,
@@ -84,13 +99,9 @@ def s2d_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
     k7s2p3, k2s2p0...). x is the ORIGINAL (B,H,W,C) input.
     """
     sh, sw = stride
-    xs = space_to_depth(x, sh, sw)
-    kf, pads = s2d_kernel(kernel, stride, padding)
-    core = _conv_core if custom_grad else _conv_raw
-    y = core(xs, kf, (1, 1), pads, (1, 1), 1)
-    if bias is not None:
-        y = y + bias.astype(y.dtype)
-    return y
+    return s2d_conv_on_folded(space_to_depth(x, sh, sw), kernel,
+                              stride=stride, padding=padding, bias=bias,
+                              custom_grad=custom_grad)
 
 
 def s2d_eligible(x_shape, kernel_shape, stride, padding, dilation,

@@ -73,23 +73,32 @@ def test_phase_max_pool_matches_maxpool():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_stem_module_engages_and_matches():
-    """nn.Conv routes an eligible stem through s2d in TRAINING mode (the
-    default gate is train-only — eval keeps the plain stride-2 lowering,
-    measured faster forward); outputs match the gated-off path at f32."""
+@pytest.mark.parametrize("block", ["downsampler", "enet_initial"])
+def test_stem_module_engages_and_matches(block):
+    """The conv||pool concat stems route through the shared-relayout s2d
+    path in TRAINING mode (the default gate is train-only — eval keeps the
+    plain stride-2 lowering, measured faster forward; generic per-conv
+    engagement was removed after it measured a 20% Fast-SCNN train
+    regression). Outputs match the gated-off path at f32."""
     from esn_tpu import nn
-    model = nn.Conv(3, 13, 3, stride=2, padding=1, bias=True)
+    if block == "downsampler":
+        from esn_tpu.models.blocks import DownsamplerConcat
+        model = DownsamplerConcat(3, 16)
+    else:
+        from esn_tpu.models.enet import InitialBlock
+        model = InitialBlock(3, 16)
     x = jnp.asarray(np.random.RandomState(3)
                     .randn(2, 16, 16, 3).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), x)
-    y_on = nn.apply(model, variables, x, train=True)
+    y_on, st_on = nn.apply(model, variables, x, train=True, mutable=True)
     os.environ["ESN_TPU_S2D_STEM"] = "0"
     try:
-        y_off = nn.apply(model, variables, x, train=True)
+        y_off, st_off = nn.apply(model, variables, x, train=True,
+                                 mutable=True)
     finally:
         os.environ.pop("ESN_TPU_S2D_STEM")
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)
     # the gate itself: train engages, eval does not, env overrides both ways
     from esn_tpu.nn.layers import _s2d_stem_enabled
 
