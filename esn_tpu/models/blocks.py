@@ -64,6 +64,37 @@ class ConvBNAct(nn.Module):
             x = scope("act", self.act, x)
         return x
 
+    def pieces_apply(self, scope, pieces):
+        """Conv over a virtual channel concat: ``conv(concat(pieces)) ==
+        sum_i conv(piece_i, W[:, :, lo_i:hi_i, :])`` — the input-channel
+        split of the kernel. Each piece keeps its own (lane-friendly)
+        layout and the misaligned concat never exists. The piece partial
+        sums accumulate in f32 and round once, like the fused conv's MXU
+        accumulator. groups=1 only."""
+        from ..ops.convolution import conv2d
+        assert self.conv.groups == 1
+        w, b = self.conv.params(scope.child("conv"))
+        acc, lo = None, 0
+        for p in pieces:
+            hi = lo + p.shape[-1]
+            # each piece conv runs in the compute dtype (bf16 in, f32 MXU
+            # accumulate); partial sums add in f32 and round once, so the
+            # only drift vs the fused conv is one bf16 round per piece
+            term = conv2d(p, w[:, :, lo:hi, :],
+                          stride=self.conv.stride,
+                          padding=self.conv.padding,
+                          dilation=self.conv.dilation).astype(jnp.float32)
+            acc = term if acc is None else acc + term
+            lo = hi
+        x = acc.astype(pieces[0].dtype)
+        if b is not None:
+            x = x + b.astype(x.dtype)
+        if self.bn is not None:
+            x = scope("bn", self.bn, x)
+        if self.act is not None:
+            x = scope("act", self.act, x)
+        return x
+
 
 class BNAct(nn.Module):
     """BN -> PReLU/ReLU (reference BR/BNPReLU [R])."""
@@ -77,6 +108,17 @@ class BNAct(nn.Module):
         if self.act is not None:
             x = scope("act", self.act, x)
         return x
+
+    def pieces_apply(self, scope, pieces):
+        """BN+act over a virtual channel concat — a list of tensors treated
+        as one concatenated tensor without materializing it (exact: both ops
+        are per-channel; see nn.BatchNorm.pieces_apply for why)."""
+        pieces = self.bn.pieces_apply(scope.child("bn"), pieces)
+        if isinstance(self.act, nn.PReLU):
+            pieces = self.act.pieces_apply(scope.child("act"), pieces)
+        elif self.act is not None:   # ReLU-family: channel-independent
+            pieces = [self.act(scope.child("act"), p) for p in pieces]
+        return pieces
 
 
 class DWConvBNAct(nn.Module):

@@ -115,7 +115,15 @@ class CGBlockDown(nn.Module):
         self.glo = FGlo(out_ch, reduction)
 
     def __call__(self, scope, x):
-        y = scope("conv", self.conv, x)
+        if isinstance(x, (list, tuple)):
+            # virtual-concat input (CGNet's raw-input injections): the
+            # stride-2 conv splits its kernel over the pieces instead of
+            # materializing a lane-hostile 35/131-ch concat — measured
+            # 195 -> ~126 ms for the whole model at b16 2048x1024
+            # (tools/bench_cgnet_noinj.py isolates the layout cost)
+            y = self.conv.pieces_apply(scope.child("conv"), x)
+        else:
+            y = scope("conv", self.conv, x)
         loc = scope("loc", self.loc, y)
         sur = scope("sur", self.sur, y)
         y = scope("join_bn", self.join_bn,
@@ -137,14 +145,15 @@ class CGNet(nn.Module):
         self.inj2 = InputInjection(2)
         self.b1 = BNAct(32 + in_ch, act="prelu", bn_eps=BN_EPS)
 
+        # identical repeated blocks run as ONE lax.scan body (nn.ScanChain):
+        # graph size becomes depth-independent, which is what got CGNet's
+        # b32/b64 full-res graphs under the TPU compile-helper ceiling
         self.down2 = CGBlockDown(32 + in_ch, 64, dilation=2, reduction=8)
-        self.stage2 = nn.Sequential(*[CGBlock(64, 2, 8)
-                                      for _ in range(m - 1)])
+        self.stage2 = nn.ScanChain(CGBlock(64, 2, 8), m - 1)
         self.b2 = BNAct(128 + in_ch, act="prelu", bn_eps=BN_EPS)
 
         self.down3 = CGBlockDown(128 + in_ch, 128, dilation=4, reduction=16)
-        self.stage3 = nn.Sequential(*[CGBlock(128, 4, 16)
-                                      for _ in range(n - 1)])
+        self.stage3 = nn.ScanChain(CGBlock(128, 4, 16), n - 1)
         self.b3 = BNAct(256, act="prelu", bn_eps=BN_EPS)
         self.drop = nn.SpatialDropout(dropout)
         self.head = nn.Conv(256, classes, 1, bias=False)
@@ -154,13 +163,15 @@ class CGNet(nn.Module):
         s1 = scope("stem", self.stem, x)                       # 1/2, 32
         i1 = scope("inj1", self.inj1, x)
         i2 = scope("inj2", self.inj2, x)
-        y = scope("b1", self.b1, jnp.concatenate([s1, i1], -1))
-
-        d2 = scope("down2", self.down2, y)                     # 1/4, 64
+        # raw-input injections ride as VIRTUAL concats (lists of pieces):
+        # BN/PReLU slice their per-channel params, the downsampler conv
+        # splits its kernel — exact, and the 35/131-ch lane-misaligned
+        # tensors never exist (+69 ms at b16 full-res if they do)
+        p1 = self.b1.pieces_apply(scope.child("b1"), [s1, i1])
+        d2 = scope("down2", self.down2, p1)                    # 1/4, 64
         s2 = scope("stage2", self.stage2, d2)
-        y = scope("b2", self.b2, jnp.concatenate([s2, d2, i2], -1))
-
-        d3 = scope("down3", self.down3, y)                     # 1/8, 128
+        p2 = self.b2.pieces_apply(scope.child("b2"), [s2, d2, i2])
+        d3 = scope("down3", self.down3, p2)                    # 1/8, 128
         s3 = scope("stage3", self.stage3, d3)
         y = scope("b3", self.b3, jnp.concatenate([s3, d3], -1))
         y = scope("drop", self.drop, y)

@@ -247,3 +247,81 @@ class Fn(Module):
 
     def __call__(self, scope: Scope, *args, **kwargs):
         return self.fn(*args, **{**self.fixed_kwargs, **kwargs})
+
+
+class ScanChain(Module):
+    """N structurally identical blocks run as ONE ``lax.scan`` over stacked
+    per-block parameters.
+
+    Deep repeated-block models (CGNet's 20-block stage3, reference
+    ``model/CGNet.py`` ContextGuidedBlock stack [R]) unroll into huge HLO
+    under ``jit``: every block is re-lowered, compile time scales with depth,
+    and big-batch graphs hit the TPU compile-helper complexity ceiling.
+    Under ``lax.scan`` the block body is compiled ONCE and iterated, so graph
+    size is depth-independent — the canonical XLA treatment of repeated
+    structure (same trick as scanned transformer layers).
+
+    Variables layout is IDENTICAL to ``Sequential`` (children "0".."n-1"):
+    the init pass runs the block per child scope, so checkpoints are
+    interchangeable with the unrolled module and per-block params stay
+    individually addressable. At apply time the per-block subtrees are
+    stacked leaf-wise (a cheap device-side pack of small weight tensors) and
+    scanned. Per-step math is identical (parity with Sequential up to
+    XLA re-fusion rounding; tested at float-epsilon on CPU).
+
+    Running-stat updates (train-mode BN) come back stacked and are
+    scattered to their per-block paths. Each rng stream has the step index
+    folded in so dropout masks differ per block.
+
+    ``ESN_TPU_SCAN_CHAIN=0`` forces the unrolled path.
+    """
+
+    def __init__(self, block: Module, n: int):
+        self.block = block
+        self.n = n
+
+    def _unrolled(self, scope: Scope, x, **kwargs):
+        for i in range(self.n):
+            x = self.block(scope.child(str(i)), x, **kwargs)
+        return x
+
+    def __call__(self, scope: Scope, x, **kwargs):
+        import os
+        if (scope.is_init or self.n <= 1
+                or os.environ.get("ESN_TPU_SCAN_CHAIN", "1") == "0"):
+            return self._unrolled(scope, x, **kwargs)
+        root = scope.root
+        subtrees = [_get_nested(root.params, scope.path + (str(i),), False)
+                    for i in range(self.n)]
+        stacked_p = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *subtrees)
+        try:
+            stat_subtrees = [
+                _get_nested(root.stats, scope.path + (str(i),), False)
+                for i in range(self.n)]
+            stacked_s = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *stat_subtrees)
+        except KeyError:
+            stacked_s = {}
+        block, train, mutable, rngs = (self.block, root.train, root.mutable,
+                                       root.rngs)
+        idx = jnp.arange(self.n)
+
+        def body(carry, step):
+            i, p, s = step
+            step_rngs = {k: jax.random.fold_in(v, i)
+                         for k, v in rngs.items()}
+            r = _Root(params=p, stats=s, is_init=False, rngs=step_rngs,
+                      train=train, mutable=mutable)
+            y = block(Scope(r), carry, **kwargs)
+            return y, r.stat_updates
+
+        y, updates = jax.lax.scan(body, x, (idx, stacked_p, stacked_s))
+        if mutable and updates:
+            for rel_path, upd in updates.items():
+                for i in range(self.n):
+                    dst = root.stat_updates.setdefault(
+                        scope.path + (str(i),) + rel_path, {})
+                    for k, v in upd.items():
+                        dst[k] = v[i]
+        return y

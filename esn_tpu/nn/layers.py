@@ -199,6 +199,52 @@ class BatchNorm(Module):
             offset = jnp.tile(offset, fold)
         return (x * scale.astype(x.dtype) + offset.astype(x.dtype))
 
+    def pieces_apply(self, scope: Scope, pieces):
+        """BN over a VIRTUAL channel concat given as a list of tensors.
+
+        Odd-width concats (e.g. CGNet's 32+3 / 64+64+3 raw-input injections,
+        reference InputInjection concat [R: model/CGNet.py]) poison TPU lane
+        layouts for every consumer; keeping the pieces separate and slicing
+        the per-channel parameters is exact (BN is independent per channel)
+        and lets each piece stay in its natural layout. Parameters/stats
+        remain full-length — checkpoint-identical to the concat path.
+        """
+        c = self.num_features
+        offs = [0]
+        for p in pieces:
+            offs.append(offs[-1] + p.shape[-1])
+        assert offs[-1] == c, (offs, c)
+        run_mean = scope.stat("mean", init.zeros, (c,))
+        run_var = scope.stat("var", init.ones, (c,))
+        if scope.train and not scope.is_init:
+            ds, m2s = [], []
+            for p, lo in zip(pieces, offs):
+                xf = p.astype(jnp.float32) - run_mean[lo:lo + p.shape[-1]]
+                ds.append(jnp.mean(xf, axis=(0, 1, 2)))
+                m2s.append(jnp.mean(jnp.square(xf), axis=(0, 1, 2)))
+            d = jnp.concatenate(ds)
+            m2 = jnp.concatenate(m2s)
+            mean = run_mean + d
+            var = jnp.maximum(m2 - jnp.square(d), 0.0)
+            n = pieces[0].shape[0] * pieces[0].shape[1] * pieces[0].shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            scope.put_stat("mean", (1 - m) * run_mean + m * mean)
+            scope.put_stat("var", (1 - m) * run_var + m * unbiased)
+        else:
+            mean, var = run_mean, run_var
+        scale = jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            gamma = scope.param("scale", init.ones, (c,))
+            beta = scope.param("bias", init.zeros, (c,))
+            scale = scale * gamma
+            offset = beta - mean * scale
+        else:
+            offset = -mean * scale
+        return [p * scale[lo:lo + p.shape[-1]].astype(p.dtype)
+                + offset[lo:lo + p.shape[-1]].astype(p.dtype)
+                for p, lo in zip(pieces, offs)]
+
 
 class PReLU(Module):
     """PReLU with 1 (torch default) or per-channel slopes, init 0.25."""
@@ -219,6 +265,18 @@ class PReLU(Module):
             a = jnp.tile(a, fold)
         a = a.astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
+
+    def pieces_apply(self, scope: Scope, pieces):
+        """PReLU over a virtual channel concat (see BatchNorm.pieces_apply);
+        per-channel slopes slice exactly, a scalar slope broadcasts."""
+        a = scope.param("alpha", init.constant(self.init_value),
+                        (self.num_parameters,))
+        out, lo = [], 0
+        for p in pieces:
+            ap = a if self.num_parameters == 1 else a[lo:lo + p.shape[-1]]
+            out.append(jnp.where(p >= 0, p, ap.astype(p.dtype) * p))
+            lo += p.shape[-1]
+        return out
 
 
 class Dropout(Module):

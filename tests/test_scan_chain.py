@@ -1,0 +1,92 @@
+"""nn.ScanChain: scanned repeated blocks vs the unrolled Sequential path.
+
+The scan body runs the same per-block math (XLA may re-fuse, so parity is
+float-epsilon, not bitwise), train-mode BN stat updates must land on the
+same per-block paths, and checkpoints must be interchangeable."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esn_tpu import nn
+from esn_tpu.models.cgnet import CGBlock
+
+pytestmark = pytest.mark.quick
+
+
+def _mk(n=4, ch=32):
+    chain = nn.ScanChain(CGBlock(ch, 2, 8), n)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 24, ch),
+                          jnp.float32)
+    v = chain.init(jax.random.PRNGKey(0), x)
+    return chain, v, x
+
+
+def test_scan_matches_unrolled_eval():
+    chain, v, x = _mk()
+    y_scan = nn.apply(chain, v, x)
+    os.environ["ESN_TPU_SCAN_CHAIN"] = "0"
+    try:
+        y_unroll = nn.apply(chain, v, x)
+    finally:
+        del os.environ["ESN_TPU_SCAN_CHAIN"]
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_matches_unrolled_train_stats():
+    chain, v, x = _mk()
+    y1, nv1 = nn.apply(chain, v, x, train=True, mutable=True)
+    os.environ["ESN_TPU_SCAN_CHAIN"] = "0"
+    try:
+        y2, nv2 = nn.apply(chain, v, x, train=True, mutable=True)
+    finally:
+        del os.environ["ESN_TPU_SCAN_CHAIN"]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    leaves1 = jax.tree_util.tree_leaves_with_path(nv1["stats"])
+    leaves2 = dict(jax.tree_util.tree_leaves_with_path(nv2["stats"]))
+    assert leaves1 and len(leaves1) == len(leaves2)
+    for path, leaf in leaves1:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(leaves2[path]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_variables_layout_matches_sequential():
+    n, ch = 3, 32
+    x = jnp.zeros((1, 8, 8, ch), jnp.float32)
+    chain = nn.ScanChain(CGBlock(ch, 2, 8), n)
+    seq = nn.Sequential(*[CGBlock(ch, 2, 8) for _ in range(n)])
+    vc = chain.init(jax.random.PRNGKey(0), x)
+    vs = seq.init(jax.random.PRNGKey(0), x)
+    pc = jax.tree_util.tree_structure(vc)
+    ps = jax.tree_util.tree_structure(vs)
+    assert pc == ps
+    # and a Sequential checkpoint drives the scanned module unchanged
+    y_seq = nn.apply(seq, vs, jnp.ones_like(x))
+    y_chain = nn.apply(chain, vs, jnp.ones_like(x))
+    np.testing.assert_allclose(np.asarray(y_seq), np.asarray(y_chain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_under_jit_and_grad():
+    chain, v, x = _mk(n=3)
+
+    def loss(params):
+        return jnp.sum(nn.apply(chain, {**v, "params": params}, x) ** 2)
+
+    g_scan = jax.jit(jax.grad(loss))(v["params"])
+    os.environ["ESN_TPU_SCAN_CHAIN"] = "0"
+    try:
+        g_unroll = jax.grad(loss)(v["params"])
+    finally:
+        del os.environ["ESN_TPU_SCAN_CHAIN"]
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_scan),
+            jax.tree_util.tree_leaves_with_path(g_unroll)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=5e-4, atol=5e-5)
