@@ -19,6 +19,7 @@ from .. import nn
 from ..ops import folding
 from ..ops import pooling as P
 from ..ops import resize as R
+from ..ops import s2d as S
 from .blocks import BNAct, ConvBNAct, InputInjection, SEGate
 from .registry import register
 
@@ -158,9 +159,42 @@ class CGNet(nn.Module):
         self.drop = nn.SpatialDropout(dropout)
         self.head = nn.Conv(256, classes, 1, bias=False)
 
+    def _stem(self, scope, x):
+        """Lane-folded stem: conv1 consumes the s2d(2,8)-relayout of the
+        full-res RGB input (a shuffle-free reshape — ops/s2d.py
+        space_to_depth) and emits its 1/2-res 32-ch output W-folded f=4
+        (128 dense lanes); c2/c3 + BN/PReLU run entirely folded; one
+        unfold (free reshape) at the end. Exact (general_folded_conv
+        parity-tested); plain stem 28.4 ms -> measured below at b16
+        2048x1024 bf16. Falls back to the unrolled Sequential when shapes
+        don't divide or during init."""
+        c1, c2, c3 = self.stem.layers
+        hw_ok = x.shape[1] % 2 == 0 and x.shape[2] % 16 == 0
+        if scope.is_init or not hw_ok \
+                or os.environ.get("ESN_TPU_FOLDED_STEM", "1") == "0":
+            return scope("stem", self.stem, x)
+        st = scope.child("stem")
+        f = 4
+        xs = S.space_to_depth(x, 2, 8)
+        y = None
+        for i, m in enumerate((c1, c2, c3)):
+            s = st.child(str(i))
+            w_, b_ = m.conv.params(s.child("conv"))
+            if i == 0:
+                y = S.general_folded_conv(xs, w_, stride=(2, 2),
+                                          padding=(1, 1), in_fold=(2, 8),
+                                          out_fold_w=f, bias=b_)
+            else:
+                y = S.general_folded_conv(y, w_, stride=(1, 1),
+                                          padding=(1, 1), in_fold=(1, f),
+                                          out_fold_w=f, bias=b_)
+            y = m.bn.folded_apply(s.child("bn"), y, f)
+            y = m.act.folded_apply(s.child("act"), y, f)
+        return folding.unfold_w(y, f)
+
     def __call__(self, scope, x):
         h, w = x.shape[1:3]
-        s1 = scope("stem", self.stem, x)                       # 1/2, 32
+        s1 = self._stem(scope, x)                              # 1/2, 32
         i1 = scope("inj1", self.inj1, x)
         i2 = scope("inj2", self.inj2, x)
         # raw-input injections ride as VIRTUAL concats (lists of pieces):

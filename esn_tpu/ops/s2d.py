@@ -32,12 +32,23 @@ from .convolution import _conv_core, _conv_raw
 
 
 def space_to_depth(x: jnp.ndarray, fh: int, fw: int) -> jnp.ndarray:
-    """(B,H,W,C) -> (B,H/fh,W/fw,fh*fw*C), phase-major (gh, gw, c)."""
+    """(B,H,W,C) -> (B,H/fh,W/fw,fh*fw*C), phase-major (gh, gw, c).
+
+    Shuffle-free formulation: because W and C are adjacent in NHWC and the
+    phase layout is (gh, gw, c)-major, the W-phase interleave is a PURE
+    RESHAPE of the (W*C)-flattened rows; only the H-phase split moves data
+    (an H-strided slice + channel concat, both layout-friendly). The naive
+    6-D transpose lowering measured ~6 ms materialized at (16,1024,2048,3)
+    bf16 on v5e (a cross-lane byte shuffle); this one is ~1 ms and XLA can
+    fuse the slices into the consumer conv.
+    """
     b, h, w, c = x.shape
     assert h % fh == 0 and w % fw == 0, (h, w, fh, fw)
-    x = x.reshape(b, h // fh, fh, w // fw, fw, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // fh, w // fw,
-                                                 fh * fw * c)
+    xf = x.reshape(b, h, w // fw, fw * c)
+    if fh == 1:
+        return xf
+    pieces = [xf[:, gh::fh] for gh in range(fh)]
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def _axis_taps(k: int, s: int, p: int):
@@ -70,6 +81,87 @@ def s2d_kernel(kernel: jnp.ndarray, stride: Tuple[int, int],
             kf = kf.at[th - tmin_h, tw - tmin_w,
                        blk:blk + i, :].set(kernel[dh, dw])
     return kf, ((-tmin_h, tmax_h), (-tmin_w, tmax_w))
+
+
+def general_folded_kernel(kernel: jnp.ndarray, *,
+                          stride: Tuple[int, int],
+                          padding: Tuple[int, int],
+                          in_fold: Tuple[int, int],
+                          out_fold_w: int):
+    """Kernel for a conv that CONSUMES an s2d-folded input and PRODUCES a
+    W-lane-folded output — both sides at full lane density.
+
+    Original conv: K (kh,kw,ci,co), stride (sh,sw), SAME-ish pad (ph,pw).
+    Input arrives as ``space_to_depth(x, fh, fwi)`` (phase-major); output
+    is ``fold_w(conv(x), fo)`` (slot-major g*co+c). Requirements for the
+    rewrite to BE a convolution on the folded tensors (tap offsets must
+    not depend on position): ``sh % fh == 0`` and ``(sw*fo) % fwi == 0``.
+    The folded conv then has stride ``(sh//fh, sw*fo//fwi)``.
+
+    Derivation: output element (h', q, g*co+c) is original output
+    (h', fo*q+g); its tap (th,tw) reads original input row
+    ``sh*h' - ph + th`` -> folded row ``(sh//fh)*h' + (th-ph)//fh``, phase
+    ``(th-ph) % fh``; and col ``sw*(fo*q+g) - pw + tw`` -> folded col
+    ``SW*q + (sw*g - pw + tw)//fwi``, phase ``(sw*g - pw + tw) % fwi``.
+    Every original weight lands once per output slot g; zeros elsewhere.
+
+    Returns (folded_kernel (Uh,Uw, fh*fwi*ci, fo*co), folded stride,
+    folded pads ((lo_h, hi_h), (lo_w, hi_w)) as asymmetric padding).
+    """
+    kh, kw, ci, co = kernel.shape
+    sh, sw = stride
+    ph, pw = padding
+    fh, fwi = in_fold
+    fo = out_fold_w
+    assert sh % fh == 0 and (sw * fo) % fwi == 0, (stride, in_fold, fo)
+    hts = sorted({(th - ph) // fh for th in range(kh)})
+    wts = sorted({(sw * g - pw + tw) // fwi
+                  for g in range(fo) for tw in range(kw)})
+    uh, uw = hts[-1] - hts[0] + 1, wts[-1] - wts[0] + 1
+    # traceable scatter (static indices): the kernel is usually a traced
+    # model parameter, so the folded kernel must be built with jnp ops —
+    # the grad then flows back through the placement automatically
+    kf = jnp.zeros((uh, uw, fh * fwi * ci, fo * co), kernel.dtype)
+    for th in range(kh):
+        ht, gh = divmod(th - ph, fh)
+        for g in range(fo):
+            for tw in range(kw):
+                wt, gw = divmod(sw * g - pw + tw, fwi)
+                s = (gh * fwi + gw) * ci
+                kf = kf.at[ht - hts[0], wt - wts[0], s:s + ci,
+                           g * co:(g + 1) * co].add(kernel[th, tw])
+    return (kf, (sh // fh, sw * fo // fwi), (hts[0], wts[0]), (uh, uw))
+
+
+def general_folded_conv(xs: jnp.ndarray, kernel: jnp.ndarray, *,
+                        stride: Tuple[int, int], padding: Tuple[int, int],
+                        in_fold: Tuple[int, int], out_fold_w: int,
+                        bias: Optional[jnp.ndarray] = None,
+                        custom_grad: bool = True) -> jnp.ndarray:
+    """Run a conv on an s2d-folded input, emitting a W-folded output.
+    ``xs = space_to_depth(x, *in_fold)``; result equals
+    ``fold_w(conv2d(x, kernel, stride, padding), out_fold_w)``."""
+    kh, kw = kernel.shape[:2]
+    sh, sw = stride
+    ph, pw = padding
+    fh, fwi = in_fold
+    fo = out_fold_w
+    kf, fstride, (ht0, wt0), (uh, uw) = general_folded_kernel(
+        kernel, stride=stride, padding=padding, in_fold=in_fold,
+        out_fold_w=out_fold_w)
+    hf, wf = xs.shape[1], xs.shape[2]
+    ho = (hf * fh + 2 * ph - kh) // sh + 1
+    wo = (wf * fwi + 2 * pw - kw) // sw + 1
+    assert wo % fo == 0, (wo, fo)
+    q = wo // fo
+    lo_h, lo_w = -ht0, -wt0
+    hi_h = (ho - 1) * fstride[0] + uh - lo_h - hf
+    hi_w = (q - 1) * fstride[1] + uw - lo_w - wf
+    core = _conv_core if custom_grad else _conv_raw
+    y = core(xs, kf, fstride, ((lo_h, hi_h), (lo_w, hi_w)), (1, 1), 1)
+    if bias is not None:
+        y = y + jnp.tile(bias, out_fold_w).astype(y.dtype)
+    return y
 
 
 def s2d_conv_on_folded(xs: jnp.ndarray, kernel: jnp.ndarray, *,

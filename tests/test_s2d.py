@@ -118,3 +118,52 @@ def test_stem_module_engages_and_matches(block):
         assert not _s2d_stem_enabled(FakeScope(True))
     finally:
         os.environ.pop("ESN_TPU_S2D_STEM")
+
+
+@pytest.mark.quick
+def test_general_folded_conv_parity():
+    """general_folded_conv == fold_w(conv2d(x)) across stride/fold shapes."""
+    from esn_tpu.ops.folding import fold_w
+    from esn_tpu.ops.s2d import general_folded_conv
+    k = jax.random.PRNGKey(0)
+    cases = [
+        (3, 32, 3, 3, 2, 2, 1, 1, 2, 8, 4, 64, 96),   # CGNet conv1
+        (3, 32, 3, 3, 2, 2, 1, 1, 2, 2, 1, 64, 96),   # classic s2d
+        (32, 32, 3, 3, 1, 1, 1, 1, 1, 4, 4, 32, 48),  # stride-1 lane fold
+        (3, 16, 7, 7, 2, 2, 3, 3, 2, 8, 4, 64, 96),   # big-kernel stem
+        (12, 24, 5, 5, 4, 4, 2, 2, 4, 8, 2, 64, 96),  # stride-4
+    ]
+    for ci, co, kh, kw, sh, sw, ph, pw, fh, fwi, fo, hh, ww in cases:
+        x = jax.random.normal(k, (2, hh, ww, ci), jnp.float32)
+        w = jax.random.normal(k, (kh, kw, ci, co), jnp.float32)
+        b = jax.random.normal(k, (co,), jnp.float32)
+        want = fold_w(C.conv2d(x, w, stride=(sh, sw), padding=(ph, pw),
+                               bias=b), fo)
+        got = general_folded_conv(
+            S.space_to_depth(x, fh, fwi), w, stride=(sh, sw),
+            padding=(ph, pw), in_fold=(fh, fwi), out_fold_w=fo, bias=b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_general_folded_conv_grad():
+    """Weight/input grads flow through the traceable folded-kernel build."""
+    from esn_tpu.ops.s2d import general_folded_conv
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (1, 16, 32, 3), jnp.float32)
+    w = jax.random.normal(k, (3, 3, 3, 8), jnp.float32)
+
+    def f_folded(w_):
+        xs = S.space_to_depth(x, 2, 8)
+        return jnp.sum(general_folded_conv(
+            xs, w_, stride=(2, 2), padding=(1, 1), in_fold=(2, 8),
+            out_fold_w=4) ** 2)
+
+    def f_plain(w_):
+        return jnp.sum(C.conv2d(x, w_, stride=(2, 2), padding=(1, 1)) ** 2)
+
+    gf = jax.grad(f_folded)(w)
+    gp = jax.grad(f_plain)(w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
+                               rtol=1e-4, atol=1e-4)
