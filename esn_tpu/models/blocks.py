@@ -251,9 +251,13 @@ class SEGate(nn.Module):
 
     def __call__(self, scope, x):
         s = P.global_avg_pool(x, keepdims=False)        # (N, C)
+        return x * self.gate(scope, s)[:, None, None, :]
+
+    def gate(self, scope, s):
+        """Gate vector (N, C) from an externally pooled mean (N, C) — for
+        fused paths that already hold the spatial sum."""
         s = nn.relu(scope("fc1", self.fc1, s))
-        s = nn.sigmoid(scope("fc2", self.fc2, s))
-        return x * s[:, None, None, :]
+        return nn.sigmoid(scope("fc2", self.fc2, s))
 
     def folded_apply(self, scope, x, fold: int):
         """SE gate on a W-lane-folded tensor (``ops.folding`` slot-major

@@ -57,12 +57,40 @@ class CGBlock(nn.Module):
             f = folding.fold_factor(self.ch // 2, x.shape[2])
         if f > 1:
             return self._folded(scope, x, f)
+        if (not scope.is_init and not scope.train
+                and os.environ.get("ESN_TPU_FUSED_CG", "1") != "0"):
+            return self._fused_eval(scope, x)
         y = scope("reduce", self.reduce, x)
         loc = scope("loc", self.loc, y)
         sur = scope("sur", self.sur, y)
         y = scope("join", self.join, jnp.concatenate([loc, sur], axis=-1))
         y = scope("glo", self.glo, y)
         return x + y
+
+    def _fused_eval(self, scope, x):
+        """Eval path through the fused Pallas CG-block kernel
+        (ops/pallas/cgblock.py): reduce 1x1 + dual depthwise context +
+        join BN/PReLU in ONE HBM pass, FGlo gate + residual as one fused
+        XLA elementwise. Exact at eval BN semantics (parity-tested);
+        dispatches to the identical-math XLA reference off-TPU or when
+        ESN_TPU_PALLAS_CG=0."""
+        from ..ops.pallas.cgblock import fused_cgblock_pre
+        rs = scope.child("reduce")
+        w1, _ = self.reduce.conv.params(rs.child("conv"))
+        a1, b1 = self.reduce.bn.eval_affine(rs.child("bn"))
+        p1 = self.reduce.act.slopes(rs.child("act"))
+        wl, _ = self.loc.params(scope.child("loc"))
+        ws, _ = self.sur.params(scope.child("sur"))
+        js = scope.child("join")
+        a2, b2 = self.join.bn.eval_affine(js.child("bn"))
+        p2 = self.join.act.slopes(js.child("act"))
+        j, sums = fused_cgblock_pre(
+            x, w1[0, 0], a1, b1, p1, wl[:, :, 0], ws[:, :, 0], a2, b2, p2,
+            d=self.dilation_)
+        area = x.shape[1] * x.shape[2]
+        mean = (sums / area).astype(x.dtype)
+        g = self.glo.gate(scope.child("glo"), mean)
+        return x + j * g[:, None, None, :]
 
     def _folded(self, scope, x, f):
         """Lane-folded execution (ops.folding): same parameters, same math.

@@ -130,13 +130,17 @@ class ESPNetC(nn.Module):
         self.b1 = BNAct(16 + in_ch, act="prelu", bn_eps=BN_EPS)
         self.down1 = ESPModule(16 + in_ch, 64, stride=2, residual=False,
                                fused_hff=fh)
-        self.level2 = nn.Sequential(*[ESPModule(64, 64, fused_hff=fh)
-                                      for _ in range(alpha2)])
+        # identical repeated ESP modules run as ONE lax.scan body
+        # (nn.ScanChain, same treatment as CGNet's stages): graph size
+        # becomes depth-independent, which is what keeps the b64 full-res
+        # eval graph under the TPU compile-helper ceiling — the blocker
+        # that forced fused-HFF off for ESPNet-C in round 2's first wave
+        self.level2 = nn.ScanChain(ESPModule(64, 64, fused_hff=fh), alpha2)
         self.b2 = BNAct(128 + in_ch, act="prelu", bn_eps=BN_EPS)
         self.down2 = ESPModule(128 + in_ch, 128, stride=2, residual=False,
                                fused_hff=fh)
-        self.level3 = nn.Sequential(*[ESPModule(128, 128, fused_hff=fh)
-                                      for _ in range(alpha3)])
+        self.level3 = nn.ScanChain(ESPModule(128, 128, fused_hff=fh),
+                                   alpha3)
         self.b3 = BNAct(256, act="prelu", bn_eps=BN_EPS)
         self.head = nn.Conv(256, classes, 1, bias=False)
 

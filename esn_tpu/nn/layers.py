@@ -199,6 +199,21 @@ class BatchNorm(Module):
             offset = jnp.tile(offset, fold)
         return (x * scale.astype(x.dtype) + offset.astype(x.dtype))
 
+    def eval_affine(self, scope: Scope):
+        """Eval-semantics BN as (scale, offset) f32 per-channel vectors —
+        ``y = x*scale + offset`` — for fused kernels that fold the affine
+        into a conv epilogue (ops/pallas)."""
+        c = self.num_features
+        mean = scope.stat("mean", init.zeros, (c,))
+        var = scope.stat("var", init.ones, (c,))
+        scale = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        if self.affine:
+            scale = scale * scope.param("scale", init.ones, (c,))
+            offset = scope.param("bias", init.zeros, (c,)) - mean * scale
+        else:
+            offset = -mean * scale
+        return scale, offset
+
     def pieces_apply(self, scope: Scope, pieces):
         """BN over a VIRTUAL channel concat given as a list of tensors.
 
@@ -265,6 +280,11 @@ class PReLU(Module):
             a = jnp.tile(a, fold)
         a = a.astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
+
+    def slopes(self, scope: Scope) -> jnp.ndarray:
+        """Fetch/create the per-channel slope vector (for fused kernels)."""
+        return scope.param("alpha", init.constant(self.init_value),
+                           (self.num_parameters,))
 
     def pieces_apply(self, scope: Scope, pieces):
         """PReLU over a virtual channel concat (see BatchNorm.pieces_apply);

@@ -72,6 +72,34 @@ def test_variables_layout_matches_sequential():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_scanned_esp_module_matches_unrolled():
+    # ESPNet-C's level2/level3 run ESP modules under ScanChain; the k-way
+    # dilated pyramid + fused HFF must survive the scan body (param
+    # subtrees sliced per step feed the tiled-kernel construction)
+    from esn_tpu.models.espnet import ESPModule
+    ch, n = 64, 3
+    chain = nn.ScanChain(ESPModule(ch, ch, fused_hff=True), n)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 24, ch),
+                          jnp.float32)
+    v = chain.init(jax.random.PRNGKey(0), x)
+    y_scan = nn.apply(chain, v, x)
+    os.environ["ESN_TPU_SCAN_CHAIN"] = "0"
+    try:
+        y_unroll = nn.apply(chain, v, x)
+    finally:
+        del os.environ["ESN_TPU_SCAN_CHAIN"]
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll),
+                               rtol=1e-5, atol=1e-5)
+    # and the non-fused path under scan agrees with the fused one
+    os.environ["ESN_TPU_ESP_FUSED_HFF"] = "0"
+    try:
+        y_plain = nn.apply(chain, v, x)
+    finally:
+        del os.environ["ESN_TPU_ESP_FUSED_HFF"]
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_plain),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_scan_under_jit_and_grad():
     chain, v, x = _mk(n=3)
 
