@@ -18,15 +18,21 @@ from .registry import register
 class ERFNet(nn.Module):
     def __init__(self, classes: int = 19, in_ch: int = 3,
                  dropout_1: float = 0.03, dropout_2: float = 0.3):
-        enc = [DownsamplerConcat(in_ch, 16, act="relu"),
-               DownsamplerConcat(16, 64, act="relu")]
-        enc += [NonBottleneck1d(64, dropout=dropout_1) for _ in range(5)]
-        enc.append(DownsamplerConcat(64, 128, act="relu"))
-        for _ in range(2):
-            for d in (2, 4, 8, 16):
-                enc.append(NonBottleneck1d(128, dilation=d,
-                                           dropout=dropout_2))
-        self.encoder = nn.Sequential(*enc)
+        # repeated blocks run as lax.scan bodies (nn.ScanChain): the 5x
+        # nb1d(64) stack scans directly; the 2x [d=2,4,8,16] stage scans a
+        # 4-block Sequential pattern (structurally identical across the two
+        # repeats — dilation is static inside the body). Graph size becomes
+        # repeat-independent, attacking the compile-helper ceiling that
+        # blocks ERFNet's b8 full-res training graph.
+        self.encoder = nn.Sequential(
+            DownsamplerConcat(in_ch, 16, act="relu"),
+            DownsamplerConcat(16, 64, act="relu"),
+            nn.ScanChain(NonBottleneck1d(64, dropout=dropout_1), 5),
+            DownsamplerConcat(64, 128, act="relu"),
+            nn.ScanChain(
+                nn.Sequential(*[NonBottleneck1d(128, dilation=d,
+                                                dropout=dropout_2)
+                                for d in (2, 4, 8, 16)]), 2))
         self.decoder = nn.Sequential(
             UpsamplerBlock(128, 64),
             NonBottleneck1d(64), NonBottleneck1d(64),

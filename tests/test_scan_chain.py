@@ -100,6 +100,40 @@ def test_scanned_esp_module_matches_unrolled():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_scanned_pattern_body_matches_unrolled():
+    # ERFNet's level-2 stage scans a Sequential PATTERN of four nb1d
+    # blocks with different static dilations, repeated twice — the body
+    # is structurally identical across repeats, the dilations live in the
+    # body's static config
+    from esn_tpu.models.blocks import NonBottleneck1d
+    body = nn.Sequential(*[NonBottleneck1d(32, dilation=d)
+                           for d in (2, 4, 8, 16)])
+    chain = nn.ScanChain(body, 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 32),
+                          jnp.float32)
+    v = chain.init(jax.random.PRNGKey(0), x)
+    y_scan, nv1 = nn.apply(chain, v, x, train=True, mutable=True)
+    y_eval = nn.apply(chain, v, x)
+    os.environ["ESN_TPU_SCAN_CHAIN"] = "0"
+    try:
+        y_unroll, nv2 = nn.apply(chain, v, x, train=True, mutable=True)
+        y_eval_u = nn.apply(chain, v, x)
+    finally:
+        del os.environ["ESN_TPU_SCAN_CHAIN"]
+    # train-mode BN batch stats re-fuse under scan: float-epsilon drift
+    # accumulates over the 8 effective blocks (~7e-5 measured on CPU)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll),
+                               rtol=1e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_eval_u),
+                               rtol=1e-5, atol=1e-5)
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(nv1["stats"]),
+            jax.tree_util.tree_leaves_with_path(nv2["stats"])):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-3, atol=1e-6, err_msg=str(pa))
+
+
 def test_scan_under_jit_and_grad():
     chain, v, x = _mk(n=3)
 
