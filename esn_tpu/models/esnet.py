@@ -51,18 +51,20 @@ class PFCU(nn.Module):
 @register("esnet")
 class ESNet(nn.Module):
     def __init__(self, classes: int = 19, in_ch: int = 3):
-        enc = [DownsamplerConcat(in_ch, 16, act="relu")]
-        enc += [NonBottleneck1d(16, k=3, dropout=0.03) for _ in range(3)]
-        enc.append(DownsamplerConcat(16, 64, act="relu"))
-        enc += [NonBottleneck1d(64, k=5, dropout=0.03) for _ in range(2)]
-        enc.append(DownsamplerConcat(64, 128, act="relu"))
-        enc += [PFCU(128) for _ in range(3)]
-        self.encoder = nn.Sequential(*enc)
+        # repeated FCU/PFCU stacks run as lax.scan bodies (nn.ScanChain):
+        # graph size becomes repeat-independent (compile-helper headroom)
+        self.encoder = nn.Sequential(
+            DownsamplerConcat(in_ch, 16, act="relu"),
+            nn.ScanChain(NonBottleneck1d(16, k=3, dropout=0.03), 3),
+            DownsamplerConcat(16, 64, act="relu"),
+            nn.ScanChain(NonBottleneck1d(64, k=5, dropout=0.03), 2),
+            DownsamplerConcat(64, 128, act="relu"),
+            nn.ScanChain(PFCU(128), 3))
         self.decoder = nn.Sequential(
             UpsamplerBlock(128, 64),
-            NonBottleneck1d(64, k=5), NonBottleneck1d(64, k=5),
+            nn.ScanChain(NonBottleneck1d(64, k=5), 2),
             UpsamplerBlock(64, 16),
-            NonBottleneck1d(16, k=3), NonBottleneck1d(16, k=3))
+            nn.ScanChain(NonBottleneck1d(16, k=3), 2))
         self.head = nn.ConvTranspose(16, classes, 2, stride=2, bias=True)
 
     def features(self, scope, x):

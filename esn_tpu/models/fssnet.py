@@ -117,15 +117,18 @@ class FSSNet(nn.Module):
     def __init__(self, classes: int = 19, in_ch: int = 3):
         self.init_block = InitialBlock(in_ch, 16)
         self.down1 = DownBottleneck(16, 64, dropout=0.03)
-        self.fac = nn.Sequential(*[FactorizedBlock(64, 0.03)
-                                   for _ in range(4)])
+        # repeated factorized/dilated stacks run as lax.scan bodies
+        # (nn.ScanChain); the (2,5,9) dilation pattern repeats twice, so
+        # it scans a 3-block Sequential pattern (dilations static inside)
+        self.fac = nn.ScanChain(FactorizedBlock(64, 0.03), 4)
         self.down2 = DownBottleneck(64, 128)
-        self.dil = nn.Sequential(*[DilatedBlock(128, d)
-                                   for d in (2, 5, 9, 2, 5, 9)])
+        self.dil = nn.ScanChain(nn.Sequential(DilatedBlock(128, 2),
+                                              DilatedBlock(128, 5),
+                                              DilatedBlock(128, 9)), 2)
         self.up2 = UpBottleneck(128, 64)
-        self.dec2 = nn.Sequential(FactorizedBlock(64), FactorizedBlock(64))
+        self.dec2 = nn.ScanChain(FactorizedBlock(64), 2)
         self.up1 = UpBottleneck(64, 16)
-        self.dec1 = nn.Sequential(FactorizedBlock(16), FactorizedBlock(16))
+        self.dec1 = nn.ScanChain(FactorizedBlock(16), 2)
         self.head = nn.ConvTranspose(16, classes, 3, stride=2, padding=1,
                                      output_padding=1, bias=True)
 

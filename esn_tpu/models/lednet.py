@@ -166,13 +166,20 @@ class APN(nn.Module):
 class LEDNet(nn.Module):
     LOGITS_TAIL = "resize"
     def __init__(self, classes: int = 19, in_ch: int = 3):
-        enc = [DownsamplerConcat(in_ch, 32, act="relu", bn_eps=BN_EPS)]
-        enc += [SSnbt(32, 1, 0.03) for _ in range(3)]
-        enc.append(DownsamplerConcat(32, 64, act="relu", bn_eps=BN_EPS))
-        enc += [SSnbt(64, 1, 0.03) for _ in range(2)]
-        enc.append(DownsamplerConcat(64, 128, act="relu", bn_eps=BN_EPS))
-        enc += [SSnbt(128, d, 0.3) for d in (1, 2, 5, 9, 2, 5, 9, 17)]
-        self.encoder = nn.Sequential(*enc)
+        # repeated SS-nbt stacks run as lax.scan bodies (nn.ScanChain);
+        # the (2,5,9) dilation pattern repeats twice, so it scans a
+        # 3-block Sequential pattern (dilations static inside the body)
+        self.encoder = nn.Sequential(
+            DownsamplerConcat(in_ch, 32, act="relu", bn_eps=BN_EPS),
+            nn.ScanChain(SSnbt(32, 1, 0.03), 3),
+            DownsamplerConcat(32, 64, act="relu", bn_eps=BN_EPS),
+            nn.ScanChain(SSnbt(64, 1, 0.03), 2),
+            DownsamplerConcat(64, 128, act="relu", bn_eps=BN_EPS),
+            SSnbt(128, 1, 0.3),
+            nn.ScanChain(nn.Sequential(SSnbt(128, 2, 0.3),
+                                       SSnbt(128, 5, 0.3),
+                                       SSnbt(128, 9, 0.3)), 2),
+            SSnbt(128, 17, 0.3))
         self.apn = APN(128, classes)
 
     def __call__(self, scope, x):
