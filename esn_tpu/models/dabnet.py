@@ -122,6 +122,17 @@ class DownSamplingBlock(nn.Module):
         self.post = BNAct(out_ch, act="prelu", bn_eps=BN_EPS)
 
     def __call__(self, scope, x):
+        if isinstance(x, (list, tuple)):
+            # virtual-concat input (DABNet's raw-input injections): the
+            # stride-2 conv splits its kernel over the pieces and the pool
+            # path pools each piece (both per-channel exact); BN/PReLU
+            # slice their params. The lane-hostile 35/131/259-ch concats
+            # never exist — one aligned concat materializes the output.
+            y = self.conv.pieces_apply(scope.child("conv"), x)
+            pieces = [y] + ([P.max_pool2d(p, 2, 2) for p in x]
+                            if self.concat_pool else [])
+            pieces = self.post.pieces_apply(scope.child("post"), pieces)
+            return jnp.concatenate(pieces, axis=-1)
         y = scope("conv", self.conv, x)
         if self.concat_pool:
             y = jnp.concatenate([y, P.max_pool2d(x, 2, 2)], axis=-1)
@@ -161,15 +172,19 @@ class DABNet(nn.Module):
         i1 = scope("inj1", self.inj1, x)
         i2 = scope("inj2", self.inj2, x)
         i3 = scope("inj3", self.inj3, x)
-        y = scope("b1", self.b1, jnp.concatenate([y, i1], -1))
+        # raw-input injections ride as VIRTUAL concats (lists of pieces,
+        # same rewrite as CGNet): BN/PReLU slice per-channel params, the
+        # downsampler/head convs split their kernels — exact, and the
+        # 35/131/259-ch lane-misaligned tensors never exist
+        p1 = self.b1.pieces_apply(scope.child("b1"), [y, i1])
 
-        d1 = scope("down1", self.down1, y)                    # 1/4, 64
+        d1 = scope("down1", self.down1, p1)                   # 1/4, 64
         y = scope("block1", self.block1, d1)
-        y = scope("b2", self.b2, jnp.concatenate([y, d1, i2], -1))
+        p2 = self.b2.pieces_apply(scope.child("b2"), [y, d1, i2])
 
-        d2 = scope("down2", self.down2, y)                    # 1/8, 128
+        d2 = scope("down2", self.down2, p2)                   # 1/8, 128
         y = scope("block2", self.block2, d2)
-        y = scope("b3", self.b3, jnp.concatenate([y, d2, i3], -1))
-        y = scope("head", self.head, y)
+        p3 = self.b3.pieces_apply(scope.child("b3"), [y, d2, i3])
+        y = self.head.pieces_apply(scope.child("head"), p3)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

@@ -46,7 +46,15 @@ class ESPModule(nn.Module):
         self.residual = residual and stride == 1 and in_ch == out_ch
 
     def __call__(self, scope, x):
-        y = scope("reduce", self.reduce, x)
+        if isinstance(x, (list, tuple)):
+            # virtual-concat input (raw-input injection / skip concats):
+            # the reduce conv splits its kernel over the pieces instead of
+            # materializing a lane-hostile 19/131-ch concat — same exact
+            # rewrite as CGNet's injections (nn.Conv.pieces_apply)
+            assert not self.residual
+            y = self.reduce.pieces_apply(scope.child("reduce"), x)
+        else:
+            y = scope("reduce", self.reduce, x)
         # per-model default (ctor): ON for ESPNet (116.7 -> 134.4 img/s b64
         # 2048x1024 bf16), OFF for ESPNet-C — the tiled-kernel graph pushes
         # its b64 eval graph over the compile-helper ceiling (b16 fallback
@@ -145,15 +153,20 @@ class ESPNetC(nn.Module):
         self.head = nn.Conv(256, classes, 1, bias=False)
 
     def encode(self, scope, x):
-        """Returns (l1 cat, l2 cat, l3 cat) feature pyramid."""
+        """Returns (l1, l2, l3) feature pyramid. l1/l2 ride as VIRTUAL
+        concats (lists of pieces): BN/PReLU slice their per-channel params
+        and every consumer (the down ESP reduce convs here, the decoder
+        proj convs in ESPNet) splits its kernel over the pieces — exact,
+        and the lane-misaligned 19/131-ch tensors never exist (same
+        rewrite that bought CGNet +37 img/s)."""
         i1 = scope("inj1", self.inj1, x)
         i2 = scope("inj2", self.inj2, x)
         s = scope("stem", self.stem, x)                       # 1/2
-        f1 = scope("b1", self.b1, jnp.concatenate([s, i1], -1))   # 19
+        f1 = self.b1.pieces_apply(scope.child("b1"), [s, i1])     # 19
         d1 = scope("down1", self.down1, f1)                   # 1/4, 64
         l2 = scope("level2", self.level2, d1)
-        f2 = scope("b2", self.b2,
-                   jnp.concatenate([l2, d1, i2], -1))          # 131
+        f2 = self.b2.pieces_apply(scope.child("b2"),
+                                  [l2, d1, i2])                # 131
         d2 = scope("down2", self.down2, f2)                   # 1/8, 128
         l3 = scope("level3", self.level3, d2)
         f3 = scope("b3", self.b3, jnp.concatenate([l3, d2], -1))  # 256
@@ -186,14 +199,17 @@ class ESPNet(nn.Module):
         self.up1 = nn.ConvTranspose(c, c, 2, stride=2, bias=False)
 
     def features(self, scope, x):
+        # f1/f2 arrive as virtual concats (see ESPNetC.encode); the proj
+        # convs split their kernels over the pieces, and the decoder skip
+        # concats ride as pieces into mix2's reduce / mix1's conv
         f1, f2, f3 = self.enc.encode(scope.child("enc"), x)
         y = scope("proj3", self.proj3, f3)                # 1/8, C
         y = scope("up3", self.up3, y)                     # 1/4
-        s2 = scope("proj2", self.proj2, f2)
-        y = scope("mix2", self.mix2, jnp.concatenate([y, s2], -1))
+        s2 = self.proj2.pieces_apply(scope.child("proj2"), f2)
+        y = scope("mix2", self.mix2, [y, s2])
         y = scope("up2", self.up2, y)                     # 1/2
-        s1 = scope("proj1", self.proj1, f1)
-        y = scope("mix1", self.mix1, jnp.concatenate([y, s1], -1))
+        s1 = self.proj1.pieces_apply(scope.child("proj1"), f1)
+        y = self.mix1.pieces_apply(scope.child("mix1"), [y, s1])
         return y                  # 1/1, C
 
     def __call__(self, scope, x):

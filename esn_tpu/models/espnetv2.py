@@ -144,15 +144,14 @@ class ESPNetV2Seg(nn.Module):
         c0, c1, c2, c3 = chs
         self.stem = ConvBNAct(in_ch, c0, 3, stride=2, act="prelu",
                               bn_eps=BN_EPS)                    # 1/2
+        # identical repeated EESP units run as lax.scan bodies
+        # (nn.ScanChain): graph size becomes repeat-independent
         self.down1 = StridedEESP(c0, c1)                        # 1/4
-        self.level1 = nn.Sequential(*[EESP(c1, c1)
-                                      for _ in range(repeats[0])])
+        self.level1 = nn.ScanChain(EESP(c1, c1), repeats[0])
         self.down2 = StridedEESP(c1, c2)                        # 1/8
-        self.level2 = nn.Sequential(*[EESP(c2, c2)
-                                      for _ in range(repeats[1])])
+        self.level2 = nn.ScanChain(EESP(c2, c2), repeats[1])
         self.down3 = StridedEESP(c2, c3)                        # 1/16
-        self.level3 = nn.Sequential(*[EESP(c3, c3)
-                                      for _ in range(repeats[2])])
+        self.level3 = nn.ScanChain(EESP(c3, c3), repeats[2])
 
         self.psp = PyramidPooling(c3, c2 // 2, act="relu")
         self.proj_l2 = ConvBNAct(c2, c2 // 2, 1, act="prelu", bn_eps=BN_EPS)

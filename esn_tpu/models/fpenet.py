@@ -153,11 +153,11 @@ class FPENet(nn.Module):
         self.stem = ConvBNAct(in_ch, w, 3, stride=2, act="relu")     # 1/2
         self.stage1 = FPEBlock(w, w, t=1)
         self.down2 = FPEBlock(w, 2 * w, stride=2, t=4)               # 1/4
-        self.stage2 = nn.Sequential(FPEBlock(2 * w, 2 * w, t=4),
-                                    FPEBlock(2 * w, 2 * w, t=4))
+        # repeated FPE blocks run as lax.scan bodies (nn.ScanChain):
+        # graph size becomes repeat-independent (compile-helper headroom)
+        self.stage2 = nn.ScanChain(FPEBlock(2 * w, 2 * w, t=4), 2)
         self.down3 = FPEBlock(2 * w, 4 * w, stride=2, t=4)           # 1/8
-        self.stage3 = nn.Sequential(*[FPEBlock(4 * w, 4 * w, t=4)
-                                      for _ in range(8)])
+        self.stage3 = nn.ScanChain(FPEBlock(4 * w, 4 * w, t=4), 8)
         self.meu2 = MEU(4 * w, 2 * w, 2 * w)
         self.meu1 = MEU(2 * w, w, w)
         self.head = nn.Conv(w, classes, 1, bias=True)

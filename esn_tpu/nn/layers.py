@@ -93,6 +93,29 @@ class Conv(Module):
         return C.conv2d(x, w, stride=self.stride, padding=self.padding,
                         dilation=self.dilation, groups=self.groups, bias=b)
 
+    def pieces_apply(self, scope: Scope, pieces):
+        """Conv over a VIRTUAL channel concat: ``conv(concat(pieces)) ==
+        sum_i conv(piece_i, W[:, :, lo_i:hi_i, :])`` — the input-channel
+        split of the kernel. Each piece keeps its own lane-friendly layout
+        and the misaligned concat never exists (see BatchNorm.pieces_apply).
+        Piece partial sums accumulate in f32 and round once, like the fused
+        conv's MXU accumulator. groups=1 only."""
+        assert self.groups == 1
+        w, b = self.params(scope)
+        acc, lo = None, 0
+        for p in pieces:
+            hi = lo + p.shape[-1]
+            term = C.conv2d(p, w[:, :, lo:hi, :], stride=self.stride,
+                            padding=self.padding,
+                            dilation=self.dilation).astype(jnp.float32)
+            acc = term if acc is None else acc + term
+            lo = hi
+        assert lo == self.in_ch, (lo, self.in_ch)
+        y = acc.astype(pieces[0].dtype)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
+
 
 class ConvTranspose(Module):
     """Transposed 2D convolution with torch shape semantics."""

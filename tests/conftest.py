@@ -49,9 +49,27 @@ SLOW_TESTS = {
     "test_predict_matches_argmax_of_logits[segnet]",     # 19 s
     "test_predict_matches_argmax_of_logits[linknet]",    # 10 s
     "test_predict_matches_argmax_of_logits[fastscnn]",   # 10 s
+    "test_predict_matches_argmax_of_logits[sqnet]",      # 24 s
+    "test_predict_matches_argmax_of_logits[erfnet]",     # 21 s
+    "test_predict_matches_argmax_of_logits[fssnet]",     # 20 s
+    "test_predict_matches_argmax_of_logits[espnet]",     # 14 s
+    "test_predict_matches_argmax_of_logits[esnet]",      # 13 s
     "test_conv_transpose_subpixel_matches_zero_insert",  # 12 s
+    # full-model parity sweeps: unit-level coverage of the same code paths
+    # stays quick (per-block folded/pieces/scan tests)
+    "test_cgnet_grad_flows_through_pieces",              # 55 s
+    "test_espnet_grad_flows_through_pieces",
+    "test_dabnet_grad_flows_through_pieces",
+    "test_dabnet_full_folded_matches_plain",             # 18 s
+    "test_fpenet_full_folded_matches_plain",             # 18 s
+    "test_espnetv2_full_folded_matches_plain",           # 25 s
+    "test_cgnet_full_folded_matches_plain",              # 12 s
+    "test_espnet_c_full_fused_hff_matches_plain",
+    "test_sharded_eval_matches_unsharded_and_compiles_once",  # 24 s
+    "test_scanned_pattern_body_matches_unrolled",        # 15 s
+    "test_general_folded_conv_parity",                   # 13 s
 }
-QUICK_OVERRIDES = {"test_enet_jit_forward"}            # 14 s model smoke
+QUICK_OVERRIDES = set()   # test_enet_jit_forward grew to 25 s — now slow
 
 
 def pytest_collection_modifyitems(config, items):

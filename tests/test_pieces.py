@@ -85,6 +85,67 @@ def test_convbnact_pieces_matches_concat():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv_pieces_matches_concat():
+    ps = _pieces(jax.random.PRNGKey(0),
+                 [(2, 16, 24, 32), (2, 16, 24, 3)])
+    cat = jnp.concatenate(ps, -1)
+    m = nn.Conv(35, 29, 3, stride=2, padding=1, bias=True)
+    v = m.init(jax.random.PRNGKey(1), cat)
+    want = nn.apply(m, v, cat)
+
+    class Wrap(nn.Module):
+        def __call__(self, scope, pieces):
+            return m.pieces_apply(scope, pieces)
+
+    got = nn.apply(Wrap(), v, ps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dabnet_downsampling_pieces_matches_concat():
+    from esn_tpu.models.dabnet import DownSamplingBlock
+    ps = _pieces(jax.random.PRNGKey(0),
+                 [(2, 16, 24, 32), (2, 16, 24, 3)])
+    cat = jnp.concatenate(ps, -1)
+    m = DownSamplingBlock(35, 64)          # conv(29) || maxpool(35) concat
+    v = m.init(jax.random.PRNGKey(1), cat)
+    want = nn.apply(m, v, cat)
+    got = nn.apply(m, v, ps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _grad_flows(model, x, rngs):
+    v = model.init(jax.random.PRNGKey(1), x)
+
+    def loss(params):
+        y = nn.apply(model, {**v, "params": params}, x, train=True,
+                     mutable=True, rngs=rngs)[0]
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    nonzero = sum(float(jnp.sum(jnp.abs(l))) > 0 for l in leaves)
+    assert nonzero / len(leaves) > 0.9, f"{nonzero}/{len(leaves)}"
+
+
+def test_espnet_grad_flows_through_pieces():
+    from esn_tpu.models.espnet import ESPNet
+    _grad_flows(ESPNet(5, alpha2=2, alpha3=2),
+                jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3),
+                                  jnp.float32),
+                {"dropout": jax.random.PRNGKey(2)})
+
+
+def test_dabnet_grad_flows_through_pieces():
+    from esn_tpu.models.dabnet import DABNet
+    _grad_flows(DABNet(5),
+                jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3),
+                                  jnp.float32),
+                {"dropout": jax.random.PRNGKey(2)})
+
+
 def test_cgnet_grad_flows_through_pieces():
     from esn_tpu.models.cgnet import CGNet
     model = CGNet(5, m=2, n=2)

@@ -132,6 +132,8 @@ def main():
     class Sub(nn.Module):
         def __call__(self, scope, x):
             f1, f2, f3 = model.enc.encode(scope.child("enc"), x)
+            f1 = jnp.concatenate(f1, -1) if isinstance(f1, list) else f1
+            f2 = jnp.concatenate(f2, -1) if isinstance(f2, list) else f2
             y = scope("proj3", model.proj3, f3)
             y = scope("up3", model.up3, y)
             s2 = scope("proj2", model.proj2, f2)

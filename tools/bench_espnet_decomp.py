@@ -54,6 +54,11 @@ def main():
         def __call__(self, scope, xx):
             upto = self.upto
             f1, f2, f3 = m.enc.encode(scope.child("enc"), xx)
+            # encode now returns f1/f2 as virtual-concat pieces; this
+            # decomposition harness measures the materialized-decoder
+            # baseline, so concat them here
+            f1 = jnp.concatenate(f1, -1) if isinstance(f1, list) else f1
+            f2 = jnp.concatenate(f2, -1) if isinstance(f2, list) else f2
             if upto == "enc":
                 return f3
             y = scope("proj3", m.proj3, f3)
