@@ -55,10 +55,12 @@ class ESPModule(nn.Module):
             y = self.reduce.pieces_apply(scope.child("reduce"), x)
         else:
             y = scope("reduce", self.reduce, x)
-        # per-model default (ctor): ON for ESPNet (116.7 -> 134.4 img/s b64
-        # 2048x1024 bf16), OFF for ESPNet-C — the tiled-kernel graph pushes
-        # its b64 eval graph over the compile-helper ceiling (b16 fallback
-        # measured 84.3 vs 140.2 plain). Env forces: 1 = on, 0 = off.
+        # per-model default (ctor): ON everywhere since the ScanChain
+        # rewrite — the tiled-kernel graph used to push ESPNet-C's b64
+        # full-res eval graph over the compile-helper ceiling (b16 fallback
+        # 84.3 vs 140.2 plain), but with the levels scanned it compiles and
+        # wins: espnet_c 154.7 -> 180.6 img/s b64 2048x1024 bf16.
+        # Env forces: 1 = on, 0 = off.
         mode = os.environ.get("ESN_TPU_ESP_FUSED_HFF", "")
         on = self.fused_hff if mode == "" else mode == "1"
         if on and not scope.is_init:
@@ -129,7 +131,7 @@ class ESPNetC(nn.Module):
     LOGITS_TAIL = "resize"
 
     def __init__(self, classes: int = 19, in_ch: int = 3, alpha2: int = 2,
-                 alpha3: int = 8, fused_hff: bool = False):
+                 alpha3: int = 8, fused_hff: bool = True):
         fh = fused_hff
         self.stem = ConvBNAct(in_ch, 16, 3, stride=2, act="prelu",
                               bn_eps=BN_EPS)
@@ -201,15 +203,26 @@ class ESPNet(nn.Module):
     def features(self, scope, x):
         # f1/f2 arrive as virtual concats (see ESPNetC.encode); the proj
         # convs split their kernels over the pieces, and the decoder skip
-        # concats ride as pieces into mix2's reduce / mix1's conv
+        # concats ride as pieces into mix2's reduce / mix1's conv.
+        # ESN_TPU_ESPNET_PIECES=0 materializes every concat instead — the
+        # piece convs add graph nodes, and ESPNet's b64 full-res eval graph
+        # sits right at the TPU compile-helper ceiling.
         f1, f2, f3 = self.enc.encode(scope.child("enc"), x)
+        pieces = os.environ.get("ESN_TPU_ESPNET_PIECES", "1") != "0"
+        if not pieces:
+            f1 = jnp.concatenate(f1, -1)
+            f2 = jnp.concatenate(f2, -1)
         y = scope("proj3", self.proj3, f3)                # 1/8, C
         y = scope("up3", self.up3, y)                     # 1/4
-        s2 = self.proj2.pieces_apply(scope.child("proj2"), f2)
-        y = scope("mix2", self.mix2, [y, s2])
+        s2 = (self.proj2.pieces_apply(scope.child("proj2"), f2) if pieces
+              else scope("proj2", self.proj2, f2))
+        y = scope("mix2", self.mix2,
+                  [y, s2] if pieces else jnp.concatenate([y, s2], -1))
         y = scope("up2", self.up2, y)                     # 1/2
-        s1 = self.proj1.pieces_apply(scope.child("proj1"), f1)
-        y = self.mix1.pieces_apply(scope.child("mix1"), [y, s1])
+        s1 = (self.proj1.pieces_apply(scope.child("proj1"), f1) if pieces
+              else scope("proj1", self.proj1, f1))
+        y = (self.mix1.pieces_apply(scope.child("mix1"), [y, s1]) if pieces
+             else scope("mix1", self.mix1, jnp.concatenate([y, s1], -1)))
         return y                  # 1/1, C
 
     def __call__(self, scope, x):

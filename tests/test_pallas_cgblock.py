@@ -69,12 +69,12 @@ def test_cgblock_fused_eval_matches_legacy():
     # make running stats non-trivial so the eval affine is exercised
     v["stats"] = jax.tree_util.tree_map(
         lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype), v["stats"])
-    y_fused = nn.apply(blk, v, x)
-    os.environ["ESN_TPU_FUSED_CG"] = "0"
+    os.environ["ESN_TPU_FUSED_CG"] = "1"
     try:
-        y_plain = nn.apply(blk, v, x)
+        y_fused = nn.apply(blk, v, x)
     finally:
         del os.environ["ESN_TPU_FUSED_CG"]
+    y_plain = nn.apply(blk, v, x)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
                                rtol=1e-4, atol=1e-4)
 
@@ -86,7 +86,7 @@ def test_fused_grad_matches_legacy():
     v = blk.init(jax.random.PRNGKey(1), x)
 
     def loss(params, fused):
-        env = {} if fused else {"ESN_TPU_FUSED_CG": "0"}
+        env = {"ESN_TPU_FUSED_CG": "1"} if fused else {}
         old = dict(os.environ)
         os.environ.update(env)
         try:
