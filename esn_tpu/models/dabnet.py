@@ -157,11 +157,12 @@ class DABNet(nn.Module):
         # size becomes repeat-independent (compile-helper headroom). The
         # (4,4,8,8,16,16) stage is three scanned pairs — dilation is static
         # inside each body.
-        self.block1 = nn.ScanChain(DABModule(64, 2), 3)
+        self.block1 = nn.ScanChain(DABModule(64, 2), 3, eval_unroll=True)
         self.b2 = BNAct(128 + in_ch, act="prelu", bn_eps=BN_EPS)
 
         self.down2 = DownSamplingBlock(128 + in_ch, 128)
-        self.block2 = nn.Sequential(*[nn.ScanChain(DABModule(128, d), 2)
+        self.block2 = nn.Sequential(*[nn.ScanChain(DABModule(128, d), 2,
+                                                   eval_unroll=True)
                                       for d in (4, 8, 16)])
         self.b3 = BNAct(256 + in_ch, act="prelu", bn_eps=BN_EPS)
         self.head = nn.Conv(256 + in_ch, classes, 1, bias=False)

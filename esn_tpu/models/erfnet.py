@@ -27,12 +27,14 @@ class ERFNet(nn.Module):
         self.encoder = nn.Sequential(
             DownsamplerConcat(in_ch, 16, act="relu"),
             DownsamplerConcat(16, 64, act="relu"),
-            nn.ScanChain(NonBottleneck1d(64, dropout=dropout_1), 5),
+            nn.ScanChain(NonBottleneck1d(64, dropout=dropout_1), 5,
+                         eval_unroll=True),
             DownsamplerConcat(64, 128, act="relu"),
             nn.ScanChain(
                 nn.Sequential(*[NonBottleneck1d(128, dilation=d,
                                                 dropout=dropout_2)
-                                for d in (2, 4, 8, 16)]), 2))
+                                for d in (2, 4, 8, 16)]), 2,
+                eval_unroll=True))
         self.decoder = nn.Sequential(
             UpsamplerBlock(128, 64),
             NonBottleneck1d(64), NonBottleneck1d(64),

@@ -55,16 +55,18 @@ class ESNet(nn.Module):
         # graph size becomes repeat-independent (compile-helper headroom)
         self.encoder = nn.Sequential(
             DownsamplerConcat(in_ch, 16, act="relu"),
-            nn.ScanChain(NonBottleneck1d(16, k=3, dropout=0.03), 3),
+            nn.ScanChain(NonBottleneck1d(16, k=3, dropout=0.03), 3,
+                         eval_unroll=True),
             DownsamplerConcat(16, 64, act="relu"),
-            nn.ScanChain(NonBottleneck1d(64, k=5, dropout=0.03), 2),
+            nn.ScanChain(NonBottleneck1d(64, k=5, dropout=0.03), 2,
+                         eval_unroll=True),
             DownsamplerConcat(64, 128, act="relu"),
-            nn.ScanChain(PFCU(128), 3))
+            nn.ScanChain(PFCU(128), 3, eval_unroll=True))
         self.decoder = nn.Sequential(
             UpsamplerBlock(128, 64),
-            nn.ScanChain(NonBottleneck1d(64, k=5), 2),
+            nn.ScanChain(NonBottleneck1d(64, k=5), 2, eval_unroll=True),
             UpsamplerBlock(64, 16),
-            nn.ScanChain(NonBottleneck1d(16, k=3), 2))
+            nn.ScanChain(NonBottleneck1d(16, k=3), 2, eval_unroll=True))
         self.head = nn.ConvTranspose(16, classes, 2, stride=2, bias=True)
 
     def features(self, scope, x):

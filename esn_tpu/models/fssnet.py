@@ -120,15 +120,16 @@ class FSSNet(nn.Module):
         # repeated factorized/dilated stacks run as lax.scan bodies
         # (nn.ScanChain); the (2,5,9) dilation pattern repeats twice, so
         # it scans a 3-block Sequential pattern (dilations static inside)
-        self.fac = nn.ScanChain(FactorizedBlock(64, 0.03), 4)
+        self.fac = nn.ScanChain(FactorizedBlock(64, 0.03), 4, eval_unroll=True)
         self.down2 = DownBottleneck(64, 128)
         self.dil = nn.ScanChain(nn.Sequential(DilatedBlock(128, 2),
                                               DilatedBlock(128, 5),
-                                              DilatedBlock(128, 9)), 2)
+                                              DilatedBlock(128, 9)), 2,
+                                eval_unroll=True)
         self.up2 = UpBottleneck(128, 64)
-        self.dec2 = nn.ScanChain(FactorizedBlock(64), 2)
+        self.dec2 = nn.ScanChain(FactorizedBlock(64), 2, eval_unroll=True)
         self.up1 = UpBottleneck(64, 16)
-        self.dec1 = nn.ScanChain(FactorizedBlock(16), 2)
+        self.dec1 = nn.ScanChain(FactorizedBlock(16), 2, eval_unroll=True)
         self.head = nn.ConvTranspose(16, classes, 3, stride=2, padding=1,
                                      output_padding=1, bias=True)
 

@@ -171,14 +171,15 @@ class LEDNet(nn.Module):
         # 3-block Sequential pattern (dilations static inside the body)
         self.encoder = nn.Sequential(
             DownsamplerConcat(in_ch, 32, act="relu", bn_eps=BN_EPS),
-            nn.ScanChain(SSnbt(32, 1, 0.03), 3),
+            nn.ScanChain(SSnbt(32, 1, 0.03), 3, eval_unroll=True),
             DownsamplerConcat(32, 64, act="relu", bn_eps=BN_EPS),
-            nn.ScanChain(SSnbt(64, 1, 0.03), 2),
+            nn.ScanChain(SSnbt(64, 1, 0.03), 2, eval_unroll=True),
             DownsamplerConcat(64, 128, act="relu", bn_eps=BN_EPS),
             SSnbt(128, 1, 0.3),
             nn.ScanChain(nn.Sequential(SSnbt(128, 2, 0.3),
                                        SSnbt(128, 5, 0.3),
-                                       SSnbt(128, 9, 0.3)), 2),
+                                       SSnbt(128, 9, 0.3)), 2,
+                         eval_unroll=True),
             SSnbt(128, 17, 0.3))
         self.apn = APN(128, classes)
 

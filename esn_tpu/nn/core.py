@@ -273,12 +273,25 @@ class ScanChain(Module):
     scattered to their per-block paths. Each rng stream has the step index
     folded in so dropout masks differ per block.
 
-    ``ESN_TPU_SCAN_CHAIN=0`` forces the unrolled path.
+    Scan is a graph-size/throughput trade: the scanned body blocks XLA's
+    cross-block fusion and forces the carry through HBM each step, which
+    measured 5-18% slower at big-batch INFERENCE on models whose unrolled
+    eval graphs compile fine (esnet 182.7 vs 150.0, erfnet 184.4 vs 168.9,
+    dabnet 231.1 vs 216.9, fssnet 259.9 vs 247.4 img/s b64 2048x1024 bf16)
+    — while being the only thing that gets CGNet/ESPNet-C big-batch eval
+    and deep training graphs under the compile-helper ceiling at all.
+    ``eval_unroll=True`` (per-model, measured) unrolls eval/inference and
+    keeps training scanned.
+
+    ``ESN_TPU_SCAN_CHAIN=0`` forces the unrolled path everywhere;
+    ``ESN_TPU_SCAN_CHAIN=1`` forces scan everywhere (overrides
+    ``eval_unroll``).
     """
 
-    def __init__(self, block: Module, n: int):
+    def __init__(self, block: Module, n: int, eval_unroll: bool = False):
         self.block = block
         self.n = n
+        self.eval_unroll = eval_unroll
 
     def _unrolled(self, scope: Scope, x, **kwargs):
         for i in range(self.n):
@@ -287,8 +300,10 @@ class ScanChain(Module):
 
     def __call__(self, scope: Scope, x, **kwargs):
         import os
-        if (scope.is_init or self.n <= 1
-                or os.environ.get("ESN_TPU_SCAN_CHAIN", "1") == "0"):
+        env = os.environ.get("ESN_TPU_SCAN_CHAIN", "")
+        unroll = self.eval_unroll and not scope.train if env == "" \
+            else env == "0"
+        if scope.is_init or self.n <= 1 or unroll:
             return self._unrolled(scope, x, **kwargs)
         root = scope.root
         subtrees = [_get_nested(root.params, scope.path + (str(i),), False)
