@@ -134,6 +134,35 @@ def test_scanned_pattern_body_matches_unrolled():
                                    rtol=1e-3, atol=1e-6, err_msg=str(pa))
 
 
+def test_eval_unroll_flag():
+    # eval_unroll=True unrolls inference (measured faster: no scan-carry
+    # HBM round trips) while training stays scanned; both must agree with
+    # the forced-scan path, and ESN_TPU_SCAN_CHAIN=1 overrides the flag
+    n, ch = 3, 32
+    chain = nn.ScanChain(CGBlock(ch, 2, 8), n, eval_unroll=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 24, ch),
+                          jnp.float32)
+    v = chain.init(jax.random.PRNGKey(0), x)
+    y_eval = nn.apply(chain, v, x)          # default eval: unrolled
+    y_train, nv1 = nn.apply(chain, v, x, train=True, mutable=True)
+    os.environ["ESN_TPU_SCAN_CHAIN"] = "1"  # force scan everywhere
+    try:
+        y_eval_s = nn.apply(chain, v, x)
+        y_train_s, nv2 = nn.apply(chain, v, x, train=True, mutable=True)
+    finally:
+        del os.environ["ESN_TPU_SCAN_CHAIN"]
+    np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_eval_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_train), np.asarray(y_train_s),
+                               rtol=1e-5, atol=1e-5)
+    leaves1 = jax.tree_util.tree_leaves_with_path(nv1["stats"])
+    leaves2 = dict(jax.tree_util.tree_leaves_with_path(nv2["stats"]))
+    for path, leaf in leaves1:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(leaves2[path]),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_scan_under_jit_and_grad():
     chain, v, x = _mk(n=3)
 
