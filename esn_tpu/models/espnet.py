@@ -201,14 +201,17 @@ class ESPNet(nn.Module):
         self.up1 = nn.ConvTranspose(c, c, 2, stride=2, bias=False)
 
     def features(self, scope, x):
-        # f1/f2 arrive as virtual concats (see ESPNetC.encode); the proj
-        # convs split their kernels over the pieces, and the decoder skip
-        # concats ride as pieces into mix2's reduce / mix1's conv.
-        # ESN_TPU_ESPNET_PIECES=0 materializes every concat instead — the
-        # piece convs add graph nodes, and ESPNet's b64 full-res eval graph
-        # sits right at the TPU compile-helper ceiling.
+        # f1/f2 arrive as virtual concats (see ESPNetC.encode); with
+        # ESN_TPU_ESPNET_PIECES=1 the proj convs split their kernels over
+        # the pieces and the decoder skip concats ride as pieces into
+        # mix2's reduce / mix1's conv. Default OFF for the decoder: the
+        # piece convs add graph nodes that push ESPNet's b64 full-res eval
+        # graph over the TPU compile-helper ceiling (persistent HTTP 500
+        # -> b32 fallback at 107.3 img/s), while materializing the decoder
+        # concats compiles at b64 and wins: 134.6 img/s 2048x1024 bf16
+        # (the encoder's own injections stay virtual inside ESPNetC).
         f1, f2, f3 = self.enc.encode(scope.child("enc"), x)
-        pieces = os.environ.get("ESN_TPU_ESPNET_PIECES", "1") != "0"
+        pieces = os.environ.get("ESN_TPU_ESPNET_PIECES", "0") == "1"
         if not pieces:
             f1 = jnp.concatenate(f1, -1)
             f2 = jnp.concatenate(f2, -1)
