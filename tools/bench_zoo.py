@@ -1,7 +1,8 @@
 """Zoo-wide inference benchmark: every model at 2048x1024 bf16 on one chip.
 
-Slope-timed (see tools/README.md). Tries batch 16 first, halving on failure
-(memory). Writes a markdown table to stdout and zoo_bench.json.
+Slope-timed (see tools/README.md). Tries batch 128 first, halving on
+failure (memory / compile-helper ceiling). Writes a markdown table to
+stdout and zoo_bench.json.
 
 Run: ``python -m tools.bench_zoo [--size 1024,2048] [--models a,b,c]``
 """
@@ -56,7 +57,7 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 128, 3), jnp.float32))
         result = None
-        for batch in (64, 32, 16, 8, 4, 2, 1):
+        for batch in (128, 64, 32, 16, 8, 4, 2, 1):
             x = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 3),
                                   jnp.bfloat16)
             try:
