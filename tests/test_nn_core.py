@@ -148,3 +148,27 @@ def test_jit_and_grad_compose():
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+
+def test_grouped_conv_dense_blockdiag_parity(rng, monkeypatch):
+    """The block-diag dense lowering for non-depthwise grouped convs
+    (nn.layers._block_diag_kernel; MXU lane fill) is exactly the grouped
+    conv: off-diagonal zeros are exact in the f32 accumulator. Both conv
+    and grad parity, plus a 3x3 grouped case."""
+    for k, g, cin, cout in [(1, 4, 16, 24), (3, 2, 8, 8)]:
+        conv = nn.Conv(cin, cout, k, padding=k // 2, groups=g, bias=True)
+        x = jnp.asarray(rng.randn(2, 9, 11, cin).astype(np.float32))
+        v = conv.init(jax.random.PRNGKey(0), x)
+
+        def run(on):
+            monkeypatch.setenv("ESN_TPU_DENSE_GROUPED", "1" if on else "0")
+            loss = lambda vv: jnp.sum(nn.apply(conv, vv, x) ** 2)
+            return nn.apply(conv, v, x), jax.grad(loss)(v)
+
+        y_ref, g_ref = run(False)
+        y_new, g_new = run(True)
+        np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_new)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
