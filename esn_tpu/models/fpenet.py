@@ -31,6 +31,7 @@ class FPEBlock(nn.Module):
         assert mid % scales == 0
         self.scales = scales
         self.stride_ = stride
+        self.in_ch = in_ch
         self.g = mid // scales
         self.expand = ConvBNAct(in_ch, mid, 1, stride=stride, act="relu")
         self.dws = [ConvBNAct(self.g, self.g, 3, dilation=d, groups=self.g,
@@ -39,8 +40,26 @@ class FPEBlock(nn.Module):
         self.se = SEGate(out_ch, reduction)
         self.use_res = (stride == 1 and in_ch == out_ch)
         self.act = nn.Fn(nn.relu)
+        # Group-major folded execution (v2, default on): fold factors such
+        # that each depthwise GROUP is one dense 128-lane tile (f*g = 128)
+        # and the incoming tensor is fully folded (fin*in_ch = 128). The
+        # strided blocks change fold factor across the conv, which is a
+        # convolution on the folded tensors iff (stride*f) % fin == 0
+        # (ops/s2d.general_folded_kernel). Decided at construction; the
+        # call dispatches on the input's channel count, so the same block
+        # still runs unfolded inputs through the plain path.
+        f = 128 // self.g if self.g in (16, 32, 64) else 1
+        fin = 128 // in_ch if in_ch in (16, 32, 64) else 1
+        ok = (f > 1 and fin > 1
+              and ((stride == 1 and fin == f)
+                   or (stride == 2 and (2 * f) % fin == 0)))
+        self.fold = f if (ok and os.environ.get(
+            "ESN_TPU_FPE_FOLDED", "1") != "0") else 1
+        self.fold_in = fin
 
     def __call__(self, scope, x):
+        if self.fold > 1 and x.shape[-1] == self.fold_in * self.in_ch:
+            return self._folded2(scope, x, self.fold)
         f = 1
         # ESN_TPU_FOLD_DW default OFF: the shift-FMA folded depthwise
         # path measured SLOWER at inference than XLA's native depthwise
@@ -118,6 +137,83 @@ class FPEBlock(nn.Module):
             y = xf + y
         return folding.unfold_w(nn.relu(y), f)
 
+    def _folded2(self, scope, x, f):
+        """Group-major folded execution (v2, ESN_TPU_FPE_FOLDED, default).
+
+        Input and output are W-folded (``ops.folding`` slot-major layout);
+        the caller folds once per stage. Inside the block every tensor is a
+        dense 128-lane tile:
+
+        - the expand 1x1 splits by OUTPUT-channel group into ``scales``
+          folded convs, each emitting one group directly — the mid-channel
+          concat and its 4x-padded 32-ch slices (measured 43.6 ms of the
+          50.7 ms HFF chain at stage2 b64, tools/bench_fpe_parts.py) never
+          exist; BN runs per group via ``folded_slice_apply`` (exact);
+        - each depthwise dilated 3x3 runs as ONE dense block-banded folded
+          conv on the MXU (``depthwise_dense_kernel`` + ``folded_kernel``):
+          4.7-6.9 ms vs 31.6 ms mixed-slot shift-FMA per conv;
+        - the project 1x1 splits by INPUT-channel group (sum of per-group
+          convs, f32 accumulation) so the concat stays virtual.
+
+        Strided blocks consume a fold_in-folded input and emit an f-folded
+        output via ``general_folded_conv``. Exact vs the plain path
+        (tested); reference semantics: FPEBlock [R: model/FPENet.py].
+        """
+        from ..ops import s2d
+        g, ns, s = self.g, self.scales, self.stride_
+        fin = self.fold_in
+        es = scope.child("expand")
+        we, be = self.expand.conv.params(es.child("conv"))
+        groups = []
+        for i in range(ns):
+            wi = we[:, :, :, i * g:(i + 1) * g]
+            bi = None if be is None else be[i * g:(i + 1) * g]
+            if s == 1:
+                yi = folding.folded_conv2d(x, wi, f, bias=bi)
+            else:
+                yi = s2d.general_folded_conv(
+                    x, wi, stride=(s, s), padding=(0, 0),
+                    in_fold=(1, fin), out_fold_w=f, bias=bi)
+            yi = self.expand.bn.folded_slice_apply(
+                es.child("bn"), yi, f, i * g, (i + 1) * g)
+            groups.append(nn.relu(yi))
+        outs = []
+        prev = None
+        for i, dw in enumerate(self.dws):
+            inp = groups[i] if prev is None else groups[i] + prev
+            ds = scope.child(f"dw{i}")
+            wd, _ = dw.conv.params(ds.child("conv"))
+            d = dw.conv.dilation if isinstance(dw.conv.dilation, tuple) \
+                else (dw.conv.dilation,) * 2
+            # per-(f, d) lowering, measured at both stage geometries
+            # (tools/bench_fpe_parts.py / _tmp: stage2 f=4: banded wins all
+            # dilations 4.7-6.9 ms vs 8.0-31.6 shift; stage3 f=2: banded
+            # wins d=1,2,4 at 2.4-3.2 ms but its U=9 span at d=8 costs
+            # 5.6 vs 4.1 for the slot-uniform shift-FMA path).
+            u = d[1] * 2 // f + 1
+            if d[1] % f == 0 and u >= 7:
+                prev = folding.folded_depthwise_conv(
+                    inp, wd[:, :, 0], f, dilation=d, padding=(d[0], d[1]))
+            else:
+                prev = folding.folded_conv2d(
+                    inp, folding.depthwise_dense_kernel(wd), f,
+                    dilation=d, padding=(d[0], d[1]))
+            prev = nn.relu(dw.bn.folded_apply(ds.child("bn"), prev, f))
+            outs.append(prev)
+        ps = scope.child("project")
+        wp, _ = self.project.conv.params(ps.child("conv"))
+        acc = None
+        for i, o in enumerate(outs):
+            yi = folding.folded_conv2d(
+                o, wp[:, :, i * g:(i + 1) * g, :], f).astype(jnp.float32)
+            acc = yi if acc is None else acc + yi
+        y = acc.astype(x.dtype)
+        y = self.project.bn.folded_apply(ps.child("bn"), y, f)
+        y = self.se.folded_apply(scope.child("se"), y, f)
+        if self.use_res:
+            y = x + y
+        return nn.relu(y)
+
 
 class MEU(nn.Module):
     """Mutual embedding upsample: deep features gated by shallow spatial
@@ -165,8 +261,22 @@ class FPENet(nn.Module):
     def __call__(self, scope, x):
         h, w_ = x.shape[1:3]
         s1 = scope("stage1", self.stage1, scope("stem", self.stem, x))
-        s2 = scope("stage2", self.stage2, scope("down2", self.down2, s1))
-        s3 = scope("stage3", self.stage3, scope("down3", self.down3, s2))
+        # group-major folded encoder (FPEBlock._folded2): fold once after
+        # stage1, stay folded through down2/stage2/down3/stage3, unfold at
+        # the decoder boundary (reshape-only). Engaged when every block
+        # opted in at construction and W folds evenly (s1 is at 1/2 res;
+        # s1.W % 8 covers the /4-res f=4 and /8-res f=2 folds too).
+        if self.down2.fold > 1 and self.stage3.block.fold > 1 \
+                and s1.shape[2] % 8 == 0:
+            t = scope("down2", self.down2, folding.fold_w(s1, 8))
+            s2f = scope("stage2", self.stage2, t)
+            t = scope("down3", self.down3, s2f)
+            s3f = scope("stage3", self.stage3, t)
+            s2 = folding.unfold_w(s2f, 4)
+            s3 = folding.unfold_w(s3f, 2)
+        else:
+            s2 = scope("stage2", self.stage2, scope("down2", self.down2, s1))
+            s3 = scope("stage3", self.stage3, scope("down3", self.down3, s2))
         y = scope("meu2", self.meu2, s3, s2)       # 1/4
         y = scope("meu1", self.meu1, y, s1)        # 1/2
         y = scope("head", self.head, y)

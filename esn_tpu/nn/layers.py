@@ -251,6 +251,50 @@ class BatchNorm(Module):
             offset = jnp.tile(offset, fold)
         return (x * scale.astype(x.dtype) + offset.astype(x.dtype))
 
+    def folded_slice_apply(self, scope: Scope, x, fold: int,
+                           lo: int, hi: int):
+        """``folded_apply`` restricted to original channels ``[lo, hi)`` —
+        for blocks that process one channel-group of a wider BN's features
+        as its own W-folded tensor (FPEBlock group-major layout: the
+        expand's mid channels never exist as one tensor). Exact: BN stats
+        are per-channel, so slicing commutes with the moment computation;
+        train mode updates only the slice of the running stats (pending
+        updates from earlier groups in the same traversal are respected —
+        ``Scope.stat`` returns them)."""
+        c = hi - lo
+        assert x.shape[-1] == fold * c, (x.shape, fold, lo, hi)
+        nf = self.num_features
+        run_mean = scope.stat("mean", init.zeros, (nf,))
+        run_var = scope.stat("var", init.ones, (nf,))
+        rm, rv = run_mean[lo:hi], run_var[lo:hi]
+        if scope.train and not scope.is_init:
+            xf = x.astype(jnp.float32).reshape(*x.shape[:3], fold, c) - rm
+            d = jnp.mean(xf, axis=(0, 1, 2, 3))
+            m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
+            mean = rm + d
+            var = jnp.maximum(m2 - jnp.square(d), 0.0)
+            n = x.shape[0] * x.shape[1] * x.shape[2] * fold
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            scope.put_stat("mean", run_mean.at[lo:hi].set(
+                (1 - m) * rm + m * mean))
+            scope.put_stat("var", run_var.at[lo:hi].set(
+                (1 - m) * rv + m * unbiased))
+        else:
+            mean, var = rm, rv
+        scale = jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            gamma = scope.param("scale", init.ones, (nf,))[lo:hi]
+            beta = scope.param("bias", init.zeros, (nf,))[lo:hi]
+            scale = scale * gamma
+            offset = beta - mean * scale
+        else:
+            offset = -mean * scale
+        if fold > 1:
+            scale = jnp.tile(scale, fold)
+            offset = jnp.tile(offset, fold)
+        return (x * scale.astype(x.dtype) + offset.astype(x.dtype))
+
     def eval_affine(self, scope: Scope):
         """Eval-semantics BN as (scale, offset) f32 per-channel vectors —
         ``y = x*scale + offset`` — for fused kernels that fold the affine

@@ -166,3 +166,22 @@ def folded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, f: int, *,
     if bias is not None:
         y = y + jnp.tile(bias, f).astype(y.dtype)
     return y
+
+
+def depthwise_dense_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(kh,kw,1,C) HWIO depthwise kernel -> (kh,kw,C,C) dense, with the
+    per-channel taps on the I==O diagonal — same math, the off-diagonal
+    zeros are exact in the f32 accumulator.
+
+    Why: a depthwise conv never touches the MXU, and in fold layout its
+    mixed-slot W-taps need per-slot channel-block concats (lane shuffles).
+    Densifying and folding (``folded_kernel`` of this) turns it into ONE
+    block-banded 128-lane MXU conv: measured 4.7-6.9 ms for every FPE
+    dilation at the stage2 geometry vs 31.6 ms mixed-slot shift-FMA and
+    5.7-8.3 ms unfolded+sliced (tools/bench_fpe_parts.py, b64 2048x1024
+    bf16). Reference depthwise dilated convs: FPEBlock / CGNet
+    ChannelWise(Dilated)Conv / DABNet [R: model/FPENet.py, model/CGNet.py].
+    """
+    kh, kw, one, c = w.shape
+    assert one == 1, w.shape
+    return w[:, :, 0, None, :] * jnp.eye(c, dtype=w.dtype)[None, None]

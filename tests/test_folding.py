@@ -142,3 +142,74 @@ def test_lednet_ssnbt_folded_matches_plain(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"train={train}")
+
+
+def _run_fpenet(x, train, monkeypatch, fold_on, model_cls=None):
+    from esn_tpu.models.fpenet import FPENet
+    monkeypatch.setenv("ESN_TPU_FPE_FOLDED", "1" if fold_on else "0")
+    monkeypatch.setenv("ESN_TPU_FOLD_DW", "0")
+    m = FPENet(classes=7)
+    v = m.init(jax.random.PRNGKey(0), x)
+    v = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype)
+        .reshape(a.shape) / max(a.size, 1), v)
+    if train:
+        y, nv = nn.apply(m, v, x, train=True, mutable=True)
+        return y, nv["stats"]
+    return nn.apply(m, v, x), None
+
+
+def test_fpenet_groupmajor_folded_matches_plain_eval(rng, monkeypatch):
+    """FPEBlock._folded2 (group-major folded encoder: split expand,
+    dense-banded MXU depthwise, virtual-concat project) == plain path.
+    W=48 -> s1.W=24 is NOT divisible by 8, exercising the fallback too."""
+    x = jnp.asarray(rng.randn(2, 32, 64, 3), jnp.float32)
+    ref, _ = _run_fpenet(x, False, monkeypatch, False)
+    got, _ = _run_fpenet(x, False, monkeypatch, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # indivisible width falls back to the plain path, same result
+    x2 = jnp.asarray(rng.randn(1, 32, 40, 3), jnp.float32)
+    ref2, _ = _run_fpenet(x2, False, monkeypatch, False)
+    got2, _ = _run_fpenet(x2, False, monkeypatch, True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fpenet_groupmajor_folded_matches_plain_train(rng, monkeypatch):
+    """Train mode: outputs AND the BN running stats must match — incl. the
+    per-group sliced stat updates of folded_slice_apply (expand BN)."""
+    x = jnp.asarray(rng.randn(2, 32, 64, 3), jnp.float32)
+    ref, stats_ref = _run_fpenet(x, True, monkeypatch, False)
+    got, stats_got = _run_fpenet(x, True, monkeypatch, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    ra, _ = jax.tree_util.tree_flatten_with_path(stats_ref)
+    ga, _ = jax.tree_util.tree_flatten_with_path(stats_got)
+    for (pa, a), (pb, b) in zip(ra, ga):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(pa))
+
+
+def test_fpenet_groupmajor_folded_grads_match(rng, monkeypatch):
+    from esn_tpu.models.fpenet import FPENet
+    x = jnp.asarray(rng.randn(1, 32, 64, 3), jnp.float32)
+    grads = []
+    for fold_on in (False, True):
+        monkeypatch.setenv("ESN_TPU_FPE_FOLDED", "1" if fold_on else "0")
+        m = FPENet(classes=7)
+        v = m.init(jax.random.PRNGKey(0), x)
+        v = jax.tree_util.tree_map(
+            lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype)
+            .reshape(a.shape) / max(a.size, 1), v)
+
+        def loss(vv):
+            y, _ = nn.apply(m, vv, x, train=True, mutable=True)
+            return jnp.mean(y ** 2)
+
+        grads.append(jax.grad(loss)(v))
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-5)
