@@ -260,12 +260,19 @@ class FPENet(nn.Module):
 
     def __call__(self, scope, x):
         h, w_ = x.shape[1:3]
+        y = scope("head", self.head, self.features(scope, x))
+        return R.resize_bilinear(y.astype(jnp.float32), (h, w_)) \
+            .astype(y.dtype)
+
+    def features(self, scope, x):
+        """Decoder output at 1/2 res (the head conv's input).
+
+        Group-major folded encoder (FPEBlock._folded2): fold once after
+        stage1, stay folded through down2/stage2/down3/stage3, unfold at
+        the decoder boundary (reshape-only). Engaged when every block
+        opted in at construction and W folds evenly (s1 is at 1/2 res;
+        s1.W % 8 covers the /4-res f=4 and /8-res f=2 folds too)."""
         s1 = scope("stage1", self.stage1, scope("stem", self.stem, x))
-        # group-major folded encoder (FPEBlock._folded2): fold once after
-        # stage1, stay folded through down2/stage2/down3/stage3, unfold at
-        # the decoder boundary (reshape-only). Engaged when every block
-        # opted in at construction and W folds evenly (s1 is at 1/2 res;
-        # s1.W % 8 covers the /4-res f=4 and /8-res f=2 folds too).
         if self.down2.fold > 1 and self.stage3.block.fold > 1 \
                 and s1.shape[2] % 8 == 0:
             t = scope("down2", self.down2, folding.fold_w(s1, 8))
@@ -278,7 +285,27 @@ class FPENet(nn.Module):
             s2 = scope("stage2", self.stage2, scope("down2", self.down2, s1))
             s3 = scope("stage3", self.stage3, scope("down3", self.down3, s2))
         y = scope("meu2", self.meu2, s3, s2)       # 1/4
-        y = scope("meu1", self.meu1, y, s1)        # 1/2
-        y = scope("head", self.head, y)
-        return R.resize_bilinear(y.astype(jnp.float32), (h, w_)) \
-            .astype(y.dtype)
+        return scope("meu1", self.meu1, y, s1)     # 1/2
+
+    def predict(self, scope, x):
+        """Fused prediction tail (ops.classify.resize2x_head_argmax): the
+        head sits at 1/2 res, so the default argmax(resize(logits)) tail
+        materializes full-res class logits — 141 ms of the 506 ms b64
+        step. The fused (bilinear x head) phase conv computes argmax at
+        half res and interleaves indices; full-res logits never exist.
+        bf16 caveat: same math, different f32 association — argmax can
+        differ at near-tie pixels (both are valid roundings)."""
+        from ..ops import classify as CL
+        if (x.shape[1] % 2 or x.shape[2] % 2
+                or os.environ.get("ESN_TPU_FUSED_PREDICT", "1") == "0"):
+            return super().predict(scope, x)
+        y = self.features(scope, x)
+        hs = scope.child("head")
+        wh, bh = self.head.params(hs)
+        out = CL.resize2x_head_argmax(y, wh, bh, argmax_tail="resize")
+        if out is None:
+            logits = self.head(hs, y)
+            logits = R.resize_bilinear(
+                logits.astype(jnp.float32), x.shape[1:3]).astype(y.dtype)
+            return CL.argmax_lastdim(logits, tail="resize")
+        return out

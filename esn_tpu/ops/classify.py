@@ -102,3 +102,68 @@ def subpixel_argmax(x, kernel, bias, *, stride, padding,
     idx = argmax_lastdim(z, tail=argmax_tail)     # (n,h,w,sh*sw)
     idx = idx.reshape(n, h, w, sh, sw).transpose(0, 1, 3, 2, 4)
     return idx.reshape(n, h * sh, w * sw)
+
+
+def resize2x_head_argmax(y, w, b, *, argmax_tail: str = "conv"):
+    """Fused ``argmax(resize_bilinear_2x(conv1x1(y)))`` prediction tail.
+
+    For a model whose head sits at 1/2 res (FPENet's MEU decoder
+    [R: model/FPENet.py]), the default tail materializes full-res class
+    logits — the f32 bilinear intermediate plus the classes->128-lane
+    padded writes measured 141 ms of FPENet's 506 ms b64 step
+    (tools/bench_fpenet_decomp.py). Both ops are linear, so
+    resize∘head is ONE conv: each of the 4 subpixel phases of the 2x
+    half-pixel-centre bilinear (torch align_corners=False, as
+    ops.resize.resize_bilinear) is a fixed 2x2-tap convex combination,
+    so (bilinear ⊗ head) is a single conv producing all phases' logits
+    at HALF res; argmax runs per phase and the int32 index maps
+    interleave (argmax commutes with the pixel permutation, cf.
+    subpixel_argmax). Runs W-folded (f = 128/C_in) so the narrow head
+    input is read lane-dense; jax.image.resize's edge clamping is
+    reproduced by edge-padding the folded input (slot-0 / slot-(f-1)
+    blocks tiled across slots). Full-res logits never exist. Same math
+    as the unfused tail up to f32 re-association of the premultiplied
+    (bilinear x head) weights — argmax can differ at near-tie pixels.
+
+    y: (B,H,W,C) features; w: (1,1,C,nc) head kernel; b: (nc,) or None.
+    Returns (B,2H,2W) int32, or None if the geometry is ineligible
+    (caller falls back to the unfused tail).
+    """
+    bsz, h, ww, c = y.shape
+    nc = w.shape[-1]
+    if 128 % c or not 2 <= 128 // c <= 8:
+        return None
+    f = 128 // c
+    if ww % f:
+        return None
+    yf = y.reshape(bsz, h, ww // f, f * c)
+    q = ww // f
+    # edge padding: H rows clamp directly; the W taps one full-res pixel
+    # outside clamp to column 0 / W-1, i.e. a folded column whose every
+    # slot holds the slot-0 (slot f-1) block of the edge column
+    left = jnp.tile(yf[:, :, :1, :c], (1, 1, 1, f))
+    right = jnp.tile(yf[:, :, -1:, (f - 1) * c:], (1, 1, 1, f))
+    yp = jnp.concatenate([left, yf, right], axis=2)
+    yp = jnp.concatenate([yp[:, :1], yp, yp[:, -1:]], axis=1)
+    # fused kernel: out channel = slot*4*nc + (p*2+q)*nc + cls
+    taps = {0: ((-1, 0.25), (0, 0.75)), 1: ((0, 0.75), (1, 0.25))}
+    kf = jnp.zeros((3, 3, f * c, f * 4 * nc), w.dtype)
+    w00 = w[0, 0]                                   # (C, nc)
+    for p in (0, 1):
+        for qq in (0, 1):
+            for oh, ah in taps[p]:
+                for ow, aw in taps[qq]:
+                    for s in range(f):
+                        t = s + ow
+                        tq, ts = divmod(t, f)
+                        col = s * 4 * nc + (p * 2 + qq) * nc
+                        kf = kf.at[1 + oh, 1 + tq, ts * c:(ts + 1) * c,
+                                   col:col + nc].add(ah * aw * w00)
+    from .convolution import _conv_core
+    z = _conv_core(yp, kf, (1, 1), ((0, 0), (0, 0)), (1, 1), 1)
+    z = z.reshape(bsz, h, q, f * 4, nc)
+    if b is not None:
+        z = z + b.astype(z.dtype)
+    idx = argmax_lastdim(z, tail=argmax_tail)        # (B,H,Q,f*4)
+    idx = idx.reshape(bsz, h, q, f, 2, 2).transpose(0, 1, 4, 2, 3, 5)
+    return idx.reshape(bsz, 2 * h, 2 * ww)
