@@ -64,6 +64,9 @@ SLOW_TESTS = {
     "test_fpenet_full_folded_matches_plain",             # 18 s
     "test_espnetv2_full_folded_matches_plain",           # 25 s
     "test_cgnet_full_folded_matches_plain",              # 12 s
+    "test_fpenet_groupmajor_folded_matches_plain_train",  # 30 s
+    "test_fpenet_groupmajor_folded_grads_match",         # 108 s
+    "test_fpenet_predict_matches_argmax_of_logits",      # 25 s
     "test_espnet_c_full_fused_hff_matches_plain",
     "test_sharded_eval_matches_unsharded_and_compiles_once",  # 24 s
     "test_scanned_pattern_body_matches_unrolled",        # 15 s
