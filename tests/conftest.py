@@ -65,8 +65,12 @@ SLOW_TESTS = {
     "test_espnetv2_full_folded_matches_plain",           # 25 s
     "test_cgnet_full_folded_matches_plain",              # 12 s
     "test_fpenet_groupmajor_folded_matches_plain_train",  # 30 s
+    "test_fpenet_groupmajor_folded_matches_plain_eval",  # 40 s
     "test_fpenet_groupmajor_folded_grads_match",         # 108 s
     "test_fpenet_predict_matches_argmax_of_logits",      # 25 s
+    "test_predict_matches_argmax_of_logits[enet]",       # 21 s (espnet_c 7 s stays as the quick smoke)
+    "test_scan_under_jit_and_grad",                      # 11 s
+    "test_fused_grad_matches_legacy",                    # 11 s
     "test_espnet_c_full_fused_hff_matches_plain",
     "test_sharded_eval_matches_unsharded_and_compiles_once",  # 24 s
     "test_scanned_pattern_body_matches_unrolled",        # 15 s
@@ -76,7 +80,15 @@ QUICK_OVERRIDES = set()   # test_enet_jit_forward grew to 25 s — now slow
 
 
 def pytest_collection_modifyitems(config, items):
+    # This hook is the SINGLE source of truth for quick/slow. Never add
+    # pytest.mark.quick/slow in test files: `-m quick` matches any item
+    # CARRYING the marker, so a file-level quick mark on a conftest-slow
+    # test leaks it into the quick tier (this shadowed ~4 min of slow
+    # tests until r2).
     for item in items:
+        assert not any(m.name in ("quick", "slow")
+                       for m in item.iter_markers()), (
+            f"{item.nodeid}: mark quick/slow only via conftest")
         base = getattr(item, "originalname", None) or item.name
         slow = (item.fspath.basename in SLOW_FILES or base in SLOW_TESTS
                 or item.name in SLOW_TESTS) and base not in QUICK_OVERRIDES

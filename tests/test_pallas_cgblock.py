@@ -11,7 +11,6 @@ from esn_tpu import nn
 from esn_tpu.models.cgnet import CGBlock
 from esn_tpu.ops.pallas.cgblock import cgblock_pre_ref, fused_cgblock_pre
 
-pytestmark = pytest.mark.quick
 
 
 def _params(key, c, d):

@@ -13,7 +13,6 @@ import pytest
 from esn_tpu import nn
 from esn_tpu.models.blocks import BNAct, ConvBNAct
 
-pytestmark = pytest.mark.quick
 
 
 def _pieces(key, shapes, dtype=jnp.float32):

@@ -120,7 +120,6 @@ def test_stem_module_engages_and_matches(block):
         os.environ.pop("ESN_TPU_S2D_STEM")
 
 
-@pytest.mark.quick
 def test_general_folded_conv_parity():
     """general_folded_conv == fold_w(conv2d(x)) across stride/fold shapes."""
     from esn_tpu.ops.folding import fold_w
@@ -146,7 +145,6 @@ def test_general_folded_conv_parity():
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.quick
 def test_general_folded_conv_grad():
     """Weight/input grads flow through the traceable folded-kernel build."""
     from esn_tpu.ops.s2d import general_folded_conv

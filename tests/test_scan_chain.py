@@ -13,7 +13,6 @@ import pytest
 from esn_tpu import nn
 from esn_tpu.models.cgnet import CGBlock
 
-pytestmark = pytest.mark.quick
 
 
 def _mk(n=4, ch=32):
