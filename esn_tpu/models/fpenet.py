@@ -53,13 +53,21 @@ class FPEBlock(nn.Module):
         ok = (f > 1 and fin > 1
               and ((stride == 1 and fin == f)
                    or (stride == 2 and (2 * f) % fin == 0)))
-        self.fold = f if (ok and os.environ.get(
-            "ESN_TPU_FPE_FOLDED", "1") != "0") else 1
+        self.fold = f if ok else 1  # geometric eligibility only
         self.fold_in = fin
 
+    def fold_now(self) -> int:
+        """Effective fold factor: geometric eligibility (construction) x
+        the ESN_TPU_FPE_FOLDED toggle, read at dispatch time like every
+        other ESN_TPU_* flag (ADVICE r2)."""
+        if os.environ.get("ESN_TPU_FPE_FOLDED", "1") == "0":
+            return 1
+        return self.fold
+
     def __call__(self, scope, x):
-        if self.fold > 1 and x.shape[-1] == self.fold_in * self.in_ch:
-            return self._folded2(scope, x, self.fold)
+        fold = self.fold_now()
+        if fold > 1 and x.shape[-1] == self.fold_in * self.in_ch:
+            return self._folded2(scope, x, fold)
         f = 1
         # ESN_TPU_FOLD_DW default OFF: the shift-FMA folded depthwise
         # path measured SLOWER at inference than XLA's native depthwise
@@ -273,14 +281,19 @@ class FPENet(nn.Module):
         opted in at construction and W folds evenly (s1 is at 1/2 res;
         s1.W % 8 covers the /4-res f=4 and /8-res f=2 folds too)."""
         s1 = scope("stage1", self.stage1, scope("stem", self.stem, x))
-        if self.down2.fold > 1 and self.stage3.block.fold > 1 \
-                and s1.shape[2] % 8 == 0:
-            t = scope("down2", self.down2, folding.fold_w(s1, 8))
+        # fold factors derived from the blocks (not hardcoded for width=16):
+        # stage1's output folds by down2's expected input fold; each stage
+        # output unfolds by that stage's own fold factor (ADVICE r2)
+        fin = self.down2.fold_in
+        if (self.down2.fold_now() > 1 and self.stage2.block.fold_now() > 1
+                and self.stage3.block.fold_now() > 1
+                and s1.shape[2] % fin == 0):
+            t = scope("down2", self.down2, folding.fold_w(s1, fin))
             s2f = scope("stage2", self.stage2, t)
             t = scope("down3", self.down3, s2f)
             s3f = scope("stage3", self.stage3, t)
-            s2 = folding.unfold_w(s2f, 4)
-            s3 = folding.unfold_w(s3f, 2)
+            s2 = folding.unfold_w(s2f, self.stage2.block.fold)
+            s3 = folding.unfold_w(s3f, self.stage3.block.fold)
         else:
             s2 = scope("stage2", self.stage2, scope("down2", self.down2, s1))
             s3 = scope("stage3", self.stage3, scope("down3", self.down3, s2))

@@ -40,16 +40,16 @@ def run_eval(eval_step, variables, loader, eval_transform, num_classes: int,
     target_b = eval_batch_size(getattr(loader, "batch_size", 1) or 1, mesh)
     cm = np.zeros((num_classes, num_classes), np.int64)
     for batch in loader:
-        arrays = {"image": np.asarray(batch["image"])}
-        has_label = "label" in batch
-        if has_label:
-            arrays["label"] = np.asarray(batch["label"])
+        if "label" not in batch:
+            # unlabeled split: nothing to score (predict.py drives its own
+            # loop); skip before any transform/device work
+            continue
+        arrays = {"image": np.asarray(batch["image"]),
+                  "label": np.asarray(batch["label"])}
         padded, real = meshlib.pad_batch_to(arrays, target_b)
         if mesh is not None:
             padded = meshlib.shard_batch(padded, mesh)
         images = eval_transform(jnp.asarray(padded["image"]))
-        if not has_label:
-            continue
         pred, cm_b = eval_step(variables, {
             "image": images,
             "label": jnp.asarray(padded["label"]),

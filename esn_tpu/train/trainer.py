@@ -187,13 +187,27 @@ class Trainer:
                     f"mesh: {tuple(self.mesh.shape.items())}\n")
             f.write("epoch\tlr\tloss_train\tmIoU_val\ttime_s\n")
 
-    def _log_epoch(self, epoch, loss, lr, miou, seconds):
+    def _class_names(self):
+        from ..data.palettes import CAMVID_CLASSES, CITYSCAPES_CLASSES
+        names = CITYSCAPES_CLASSES if self.cfg.dataset == "cityscapes" \
+            else CAMVID_CLASSES
+        return [names[i] if i < len(names) else f"class{i}"
+                for i in range(self.spec.num_classes)]
+
+    def _log_epoch(self, epoch, loss, lr, miou, seconds, iou=None):
         miou_s = f"{miou:.4f}" if miou is not None else "-"
         with open(self._log_path, "a") as f:
             f.write(f"{epoch}\t{lr:.6f}\t{loss:.4f}\t{miou_s}\t"
                     f"{seconds:.1f}\n")
+            if iou is not None:
+                # per-class IoU lines at val epochs — same log.txt surface
+                # as the reference [R: train.py val logging]
+                for name, v in zip(self._class_names(), iou):
+                    f.write(f"  {name:>15s} IoU: {float(v):.4f}\n")
         event = {"epoch": epoch, "loss": loss, "lr": lr,
                  "miou": miou, "time_s": seconds}
+        if iou is not None:
+            event["per_class_iou"] = [round(float(v), 6) for v in iou]
         steps = self._step_timer.summary()
         if steps:
             event["host_step"] = steps  # dispatch+input time, not device time
@@ -249,13 +263,13 @@ class Trainer:
         for epoch in range(self.start_epoch, end_epoch):
             t0 = time.time()
             loss, lr = self.train_epoch(epoch)
-            miou = None
+            miou = iou_vec = None
             if ((epoch + 1) % cfg.val_epochs == 0
                     or epoch + 1 == cfg.max_epochs):
-                _, miou = self.validate()
+                iou_vec, miou = self.validate()
                 last_miou = miou
             dt = time.time() - t0
-            self._log_epoch(epoch + 1, loss, lr, miou, dt)
+            self._log_epoch(epoch + 1, loss, lr, miou, dt, iou=iou_vec)
             ckpt.save_checkpoint(cfg.run_dir, epoch + 1, self.state,
                                  {"mIoU": miou if miou is not None else -1.0,
                                   "loss": loss})

@@ -86,9 +86,10 @@ def pytest_collection_modifyitems(config, items):
     # test leaks it into the quick tier (this shadowed ~4 min of slow
     # tests until r2).
     for item in items:
-        assert not any(m.name in ("quick", "slow")
-                       for m in item.iter_markers()), (
-            f"{item.nodeid}: mark quick/slow only via conftest")
+        if any(m.name in ("quick", "slow") for m in item.iter_markers()):
+            # not a bare assert: that guard vanishes under `python -O`
+            raise pytest.UsageError(
+                f"{item.nodeid}: mark quick/slow only via conftest")
         base = getattr(item, "originalname", None) or item.name
         slow = (item.fspath.basename in SLOW_FILES or base in SLOW_TESTS
                 or item.name in SLOW_TESTS) and base not in QUICK_OVERRIDES

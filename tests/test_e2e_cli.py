@@ -44,6 +44,14 @@ def test_trainer_end_to_end(tmp_path):
     assert len(events) == 2
     assert all(np.isfinite(e["loss"]) for e in events)
 
+    # per-class IoU lines in log.txt at val epochs (reference log surface
+    # [R: train.py]) and the per-class vector in events.jsonl
+    log = open(os.path.join(run, "log.txt")).read()
+    assert log.count(" IoU: ") >= 11  # one line per CamVid class
+    val_events = [e for e in events if e.get("miou") is not None]
+    assert val_events and all(
+        len(e["per_class_iou"]) == 11 for e in val_events)
+
 
 def test_trainer_resume(tmp_path):
     cfg = make_cfg(tmp_path, model="ENet", max_epochs=2, val_epochs=99)
