@@ -232,8 +232,9 @@ class CGNet(nn.Module):
             y = m.act.folded_apply(s.child("act"), y, f)
         return folding.unfold_w(y, f)
 
-    def __call__(self, scope, x):
-        h, w = x.shape[1:3]
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
         s1 = self._stem(scope, x)                              # 1/2, 32
         i1 = scope("inj1", self.inj1, x)
         i2 = scope("inj2", self.inj2, x)
@@ -249,6 +250,10 @@ class CGNet(nn.Module):
         s3 = scope("stage3", self.stage3, d3)
         y = scope("b3", self.b3, jnp.concatenate([s3, d3], -1))
         y = scope("drop", self.drop, y)
-        y = scope("head", self.head, y)
+        return scope("head", self.head, y)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

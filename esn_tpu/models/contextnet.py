@@ -90,7 +90,9 @@ class ContextNet(nn.Module):
         self.drop = nn.Dropout(0.1)
         self.head = nn.Conv(128, classes, 1, bias=True)
 
-    def __call__(self, scope, x):
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
         h, w = x.shape[1:3]
         x_small = R.resize_bilinear(x, (h // 4, w // 4))
         high = scope("shallow", self.shallow, x)      # 1/8
@@ -99,6 +101,10 @@ class ContextNet(nn.Module):
         y = scope("ds1", self.ds1, y)
         y = scope("ds2", self.ds2, y)
         y = scope("drop", self.drop, y)
-        y = scope("head", self.head, y)
+        return scope("head", self.head, y)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

@@ -167,8 +167,9 @@ class DABNet(nn.Module):
         self.b3 = BNAct(256 + in_ch, act="prelu", bn_eps=BN_EPS)
         self.head = nn.Conv(256 + in_ch, classes, 1, bias=False)
 
-    def __call__(self, scope, x):
-        h, w = x.shape[1:3]
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
         y = scope("stem", self.stem, x)                       # 1/2, 32
         i1 = scope("inj1", self.inj1, x)
         i2 = scope("inj2", self.inj2, x)
@@ -186,6 +187,10 @@ class DABNet(nn.Module):
         d2 = scope("down2", self.down2, p2)                   # 1/8, 128
         y = scope("block2", self.block2, d2)
         p3 = self.b3.pieces_apply(scope.child("b3"), [y, d2, i3])
-        y = self.head.pieces_apply(scope.child("head"), p3)
+        return self.head.pieces_apply(scope.child("head"), p3)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

@@ -88,12 +88,17 @@ class EDANet(nn.Module):
         self.block2 = nn.Sequential(*block2)      # 450
         self.head = nn.Conv(ch, classes, 1, bias=True)
 
-    def __call__(self, scope, x):
-        h, w = x.shape[1:3]
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
         y = scope("down1", self.down1, x)
         y = scope("down2", self.down2, y)
         y = scope("block1", self.block1, y)
         y = scope("down3", self.down3, y)
         y = scope("block2", self.block2, y)
-        y = scope("head", self.head, y)
+        return scope("head", self.head, y)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)).astype(y.dtype)

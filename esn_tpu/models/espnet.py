@@ -174,10 +174,15 @@ class ESPNetC(nn.Module):
         f3 = scope("b3", self.b3, jnp.concatenate([l3, d2], -1))  # 256
         return f1, f2, f3
 
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
+        _, _, f3 = self.encode(scope, x)
+        return scope("head", self.head, f3)
+
     def __call__(self, scope, x):
         h, w = x.shape[1:3]
-        _, _, f3 = self.encode(scope, x)
-        y = scope("head", self.head, f3)
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)
 

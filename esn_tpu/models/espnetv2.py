@@ -158,8 +158,9 @@ class ESPNetV2Seg(nn.Module):
         self.fuse = EESP(c2, c2 // 2, residual=False)
         self.head = nn.Conv(c2 // 2, classes, 1, bias=False)
 
-    def __call__(self, scope, x):
-        h, w = x.shape[1:3]
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
         y = scope("stem", self.stem, x)
         y = scope("down1", self.down1, y, x)
         y = scope("level1", self.level1, y)
@@ -171,6 +172,10 @@ class ESPNetV2Seg(nn.Module):
         y = R.resize_bilinear(y, l2.shape[1:3])                # 1/8
         s = scope("proj_l2", self.proj_l2, l2)
         y = scope("fuse", self.fuse, jnp.concatenate([y, s], -1))
-        y = scope("head", self.head, y)
+        return scope("head", self.head, y)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

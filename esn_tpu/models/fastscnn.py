@@ -98,11 +98,16 @@ class FastSCNN(nn.Module):
         self.ffm = FeatureFusion()
         self.head = Classifier(128, classes)
 
-    def __call__(self, scope, x):
-        h, w = x.shape[1:3]
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
         high = scope("ltd", self.ltd, x)           # 1/8
         low = scope("gfe", self.gfe, high)         # 1/32
         y = scope("ffm", self.ffm, high, low)      # 1/8
-        y = scope("head", self.head, y)
+        return scope("head", self.head, y)
+
+    def __call__(self, scope, x):
+        h, w = x.shape[1:3]
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

@@ -183,9 +183,14 @@ class LEDNet(nn.Module):
             SSnbt(128, 17, 0.3))
         self.apn = APN(128, classes)
 
+    def logits_lowres(self, scope, x):
+        """1/8-res logits (nn.Module.predict fuses the 8x upsample+argmax
+        tail through ops.classify.resize_tail_argmax)."""
+        y = scope("encoder", self.encoder, x)     # 1/8
+        return scope("apn", self.apn, y)
+
     def __call__(self, scope, x):
         h, w = x.shape[1:3]
-        y = scope("encoder", self.encoder, x)     # 1/8
-        y = scope("apn", self.apn, y)
+        y = self.logits_lowres(scope, x)
         return R.resize_bilinear(y.astype(jnp.float32), (h, w)) \
             .astype(y.dtype)

@@ -155,8 +155,17 @@ class Module:
         """Class-map prediction: ``argmax(logits)`` by default. ConvT-tail
         models override this with the fused subpixel head (argmax before
         depth-to-space — ops.classify.subpixel_argmax), which is exact but
-        never materializes full-res class-channel logits. Run it with
-        ``nn.apply(model, variables, x, method="predict")``."""
+        never materializes full-res class-channel logits. Models whose
+        __call__ ends in the standard bilinear-resize tail expose the
+        pre-resize logits as ``logits_lowres``; predict then routes
+        through the fused Pallas upsample+argmax
+        (ops.classify.resize_tail_argmax) so full-res class logits never
+        exist. Run it with ``nn.apply(model, variables, x,
+        method="predict")``."""
+        if hasattr(self, "logits_lowres"):
+            from ..ops.classify import resize_tail_argmax
+            y = self.logits_lowres(scope, x)
+            return resize_tail_argmax(y, x.shape[1:3], tail=self.LOGITS_TAIL)
         from ..ops.classify import argmax_lastdim
         return argmax_lastdim(self(scope, x), tail=self.LOGITS_TAIL)
 

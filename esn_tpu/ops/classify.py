@@ -78,6 +78,55 @@ def argmax_lastdim(x, tail: str = "conv"):
     return _argmax_two_pass(x)
 
 
+def fused_resize_argmax(y, out_hw):
+    """Fused ``argmax(resize_bilinear(y.astype(f32), out_hw))`` via the
+    Pallas phase kernel (ops.pallas.resize_argmax) — the tail shared by
+    nine zoo models [R: every model/*.py forward ending in
+    F.interpolate(mode='bilinear')]. Returns ``None`` when ineligible
+    (caller falls back to the unfused tail): non-integer or non-uniform
+    scale, class count >64, non-TPU backend, VMEM-unfriendly geometry,
+    or ESN_TPU_FUSED_RESIZE_ARGMAX=0.
+
+    On the flagship this replaces the 53.7 ms iota_reduce_fusion of
+    Fast-SCNN's b128 predict step with a ~19 ms kernel+interleave
+    (tools/bench_resize_argmax.py). Near-tie caveat: the kernel argmaxes
+    the f32 interpolation (as the torch reference does); the unfused tail
+    rounds to the model dtype first, so argmax can differ where rounding
+    creates ties — both are valid answers at those pixels.
+    """
+    import jax
+    if os.environ.get("ESN_TPU_FUSED_RESIZE_ARGMAX", "1") == "0":
+        return None
+    n, h, w, c = y.shape
+    oh, ow = out_hw
+    if oh % h or ow % w or oh // h != ow // w:
+        return None
+    r = oh // h
+    if not 2 <= r <= 8 or not 2 <= c <= 64:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    # VMEM guard: input block + double-buffered output block
+    itemsize = jnp.dtype(y.dtype).itemsize
+    vmem = c * (h + 8) * w * itemsize * 2 + 2 * r * r * 32 * w * 4
+    if vmem > 10 * 2**20:
+        return None
+    from .pallas.resize_argmax import resize_argmax
+    return resize_argmax(y, r)
+
+
+def resize_tail_argmax(y, out_hw, *, tail: str = "resize"):
+    """The standard resize-tail prediction: fused Pallas kernel when
+    eligible, else exactly the unfused tail the model's __call__ ships
+    (f32 bilinear -> model dtype -> argmax)."""
+    out = fused_resize_argmax(y, out_hw)
+    if out is not None:
+        return out
+    from .resize import resize_bilinear
+    logits = resize_bilinear(y.astype(jnp.float32), out_hw).astype(y.dtype)
+    return argmax_lastdim(logits, tail=tail)
+
+
 def subpixel_argmax(x, kernel, bias, *, stride, padding,
                     argmax_tail: str = "conv"):
     """Fused prediction head for a final ConvTranspose: class-argmax per
