@@ -39,6 +39,7 @@ def rng():
 SLOW_FILES = {
     "test_convergence.py",
     "test_e2e_cli.py",
+    "test_golden_run.py",
     "test_profiling.py",
     "test_spatial_sharding.py",
     "test_models.py",
