@@ -197,6 +197,13 @@ def lovasz_softmax(logits, labels, *, num_classes: int,
 
     ``class_weights`` is accepted for API symmetry but unused (the Lovász
     extension is inherently class-balanced).
+
+    Cost note (measured, v5e): the extension needs the FULL descending
+    sort of the per-class errors over all B·H·W pixels, x num_classes —
+    at 2048x1024 that is 19 sorts of 8.4M elements and training runs at
+    ~1.3 img/s vs ~150 for CE/OHEM (benchmarks/zoo_train_lovasz_*.json).
+    Unlike OHEM's kth-value there is no counting-sweep shortcut without
+    changing the gradient; prefer OHEM at production resolution.
     """
     del class_weights
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
