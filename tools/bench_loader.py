@@ -126,10 +126,15 @@ def main():
                 key = f"{w}x{h}_{ext}"
                 nat = bench_native(paths, h, w, args.epochs)
                 cv = bench_cv2(paths, h, w, args.epochs)
+                # per-path MB/s so entries stay comparable across hosts
+                # (ADVICE r3: a single column silently switched meaning
+                # depending on native-loader availability)
                 entry = {"native_img_s": round(nat, 2) if nat else None,
                          "cv2_img_s": round(cv, 2),
-                         "decoded_MB_s": round(
-                             (nat or cv) * (h * w * 4) / 1e6, 1)}
+                         "native_decoded_MB_s": round(
+                             nat * (h * w * 4) / 1e6, 1) if nat else None,
+                         "cv2_decoded_MB_s": round(
+                             cv * (h * w * 4) / 1e6, 1)}
                 if ext == "png":
                     entry["npy_packed_img_s"] = round(
                         bench_npy(root, paths, h, w, args.epochs), 2)

@@ -76,10 +76,16 @@ def main():
         return train_loss(vv, xx)
 
     def fwd_dx(vv, xx):
-        # params stopped: only the data-gradient (dX) path is built
+        # params stopped: only the data-gradient (dX) path is built.
+        # Differentiate wrt an f32 leaf but cast back to the bench dtype
+        # INSIDE the differentiated fn, so the forward (and hence the conv
+        # kernels, which follow x.dtype) runs in the same bf16 as the other
+        # variants — otherwise dX is inflated by an f32-vs-bf16 forward
+        # delta and dW correspondingly deflated (ADVICE r3, medium).
         frozen = jax.tree_util.tree_map(lax.stop_gradient, vv)
         l, gx = jax.value_and_grad(
-            lambda xi: train_loss(frozen, xi))(xx.astype(jnp.float32))
+            lambda xi: train_loss(frozen, xi.astype(xx.dtype)))(
+                xx.astype(jnp.float32))
         return l + jnp.sum(gx[0, 0, 0].astype(jnp.float32))
 
     def fwd_bwd(vv, xx):
