@@ -86,6 +86,8 @@ class ManifestDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         img_path, lab_path = self.records[i]
         image = label = None
+        if img_path.endswith(".npy"):
+            return self._get_packed(i)
         from . import native
         if native.available():  # C++ decode+resize (native/esn_native.cc)
             image = native.decode_bgr(img_path, self.resize_hw)
@@ -110,6 +112,39 @@ class ManifestDataset:
                     label = cv2.resize(label, (w, h),
                                        interpolation=cv2.INTER_NEAREST)
         item = {"image": image.astype(np.uint8),
+                "name": os.path.basename(img_path),
+                "size": np.array(image.shape[:2], np.int32)}
+        if label is not None:
+            item["label"] = label.astype(np.int32)
+        return item
+
+    def _get_packed(self, i: int) -> Dict[str, np.ndarray]:
+        """Pre-packed record: one ``.npy`` holding (H, W, 4) uint8 —
+        BGR image in channels 0..2, label in channel 3 — or (H, W, 3)
+        for unlabeled test records (tools/pack_dataset.py). No codec in
+        the hot path: ~58x the PNG decode rate per host core
+        (benchmarks/host_loader.json), which is what feeds full-res
+        inference serving where PNG decode would bind the host."""
+        img_path, lab_path = self.records[i]
+        arr = np.load(img_path)
+        if arr.ndim != 3 or arr.shape[-1] not in (3, 4):
+            raise ValueError(
+                f"packed record {img_path} has shape {arr.shape}; expected "
+                "(H, W, 3|4) uint8 from tools/pack_dataset.py")
+        image = arr[..., :3]
+        label = arr[..., 3] if arr.shape[-1] == 4 else None
+        if lab_path is not None:  # separately-packed label column
+            label = np.load(lab_path)
+        if self.resize_hw is not None and \
+                tuple(image.shape[:2]) != tuple(self.resize_hw):
+            import cv2
+            h, w = self.resize_hw
+            image = cv2.resize(image, (w, h),
+                               interpolation=cv2.INTER_LINEAR)
+            if label is not None:
+                label = cv2.resize(label, (w, h),
+                                   interpolation=cv2.INTER_NEAREST)
+        item = {"image": np.ascontiguousarray(image, dtype=np.uint8),
                 "name": os.path.basename(img_path),
                 "size": np.array(image.shape[:2], np.int32)}
         if label is not None:

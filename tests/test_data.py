@@ -167,6 +167,61 @@ def test_manifest_parsing(tmp_path):
     assert "label" not in ds[1]
 
 
+def test_packed_npy_roundtrip_and_builders(tmp_path):
+    """tools/pack_dataset.py output must load byte-identically to the PNG
+    source and drive the builders end-to-end as a plain --data_root."""
+    cv2 = pytest.importorskip("cv2")
+    from tools.pack_dataset import pack_split
+
+    root = tmp_path / "ds"
+    ds_dir = root / "camvid"
+    (ds_dir / "images").mkdir(parents=True)
+    r = np.random.RandomState(3)
+    for split, n, labeled in (("train", 4, True), ("val", 2, True),
+                              ("test", 2, False)):
+        lines = []
+        for i in range(n):
+            img = r.randint(0, 255, (40, 56, 3), np.uint8)
+            cv2.imwrite(str(ds_dir / "images" / f"{split}_{i}.png"), img)
+            if labeled:
+                lab = r.randint(0, 11, (40, 56), np.uint8)
+                cv2.imwrite(str(ds_dir / "images" / f"{split}_{i}_L.png"),
+                            lab)
+                lines.append(f"images/{split}_{i}.png "
+                             f"images/{split}_{i}_L.png")
+            else:
+                lines.append(f"images/{split}_{i}.png")
+        (ds_dir / f"camvid_{split}_list.txt").write_text(
+            "\n".join(lines) + "\n")
+
+    out_root = str(tmp_path / "packed")
+    for split in ("train", "val", "test"):
+        assert pack_split(str(root), out_root, "camvid", split) > 0
+
+    spec = D.get_spec("camvid")
+    src = D.ManifestDataset.from_list_file(
+        str(ds_dir / "camvid_train_list.txt"), spec)
+    packed = D.ManifestDataset.from_list_file(
+        os.path.join(out_root, "camvid", "camvid_train_list.txt"), spec)
+    for i in range(len(src)):
+        a, b = src[i], packed[i]
+        np.testing.assert_array_equal(a["image"], b["image"])  # bit-exact
+        np.testing.assert_array_equal(a["label"], b["label"])
+    # unlabeled test split packs as (H, W, 3)
+    pt = D.ManifestDataset.from_list_file(
+        os.path.join(out_root, "camvid", "camvid_test_list.txt"), spec)
+    assert "label" not in pt[0]
+
+    # e2e: the packed root is a drop-in --data_root
+    datas, train_loader, _, aug, _ = D.build_dataset_train(
+        "camvid", (32, 48), batch_size=2, root=out_root, num_workers=0)
+    assert datas["classWeights"].shape == (11,)
+    batch = next(iter(train_loader))
+    x, y = aug(jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+               jnp.asarray(batch["label"]))
+    assert x.shape == (2, 32, 48, 3) and y.shape == (2, 32, 48)
+
+
 def test_device_prefetch_consumer_abandons():
     """Abandoning the generator mid-epoch must retire the producer thread."""
     import threading
