@@ -229,12 +229,144 @@ def lovasz_softmax(logits, labels, *, num_classes: int,
     return jnp.sum(losses * presents) / jnp.maximum(jnp.sum(presents), 1e-8)
 
 
+def _lovasz_bucket_tables(errors, fg, validf, n_buckets, chunk):
+    """Per-class per-bucket Lovász coefficients, by counting — no sort.
+
+    Quantize each error to a ``n_buckets``-level linear key. Within a tie
+    block the sorted dot product telescopes: its value only needs the
+    block-boundary Jaccard values, which only need per-bucket (count, fg)
+    totals. Histograms are built as one-hot matmuls over pixel chunks
+    (MXU work; XLA scatter-add and `sort` never appear). Returns the
+    (C, n_buckets) table of per-pixel coefficients ΔJaccard(b)/count(b)
+    — the average Lovász gradient over each tie block.
+    """
+    nb = n_buckets
+    side = int(nb ** 0.5)
+    assert side * side == nb
+    n, C = errors.shape
+    q = jnp.clip((errors * (nb - 1)).astype(jnp.int32), 0, nb - 1)
+    hi, lo = q // side, q % side
+    iota = jnp.arange(side, dtype=jnp.int32)
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        z = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        hi, lo, fg, validf = z(hi), z(lo), z(fg), z(validf)
+    hi = hi.reshape(n_chunks, chunk, C)
+    lo = lo.reshape(n_chunks, chunk, C)
+    fgc = fg.reshape(n_chunks, chunk, C)
+    vc = validf.reshape(n_chunks, chunk)
+
+    def body(acc, args):
+        h, l, f, v = args
+        outs = []
+        for c in range(C):
+            ph = (h[:, c, None] == iota).astype(jnp.bfloat16)
+            pl = (l[:, c, None] == iota).astype(jnp.bfloat16)
+            data = jnp.stack([v, f[:, c] * v], -1)  # count, fg
+            b = (pl[:, :, None] * data[:, None, :]).reshape(chunk, side * 2)
+            m = jax.lax.dot(ph.T, b.astype(jnp.bfloat16),
+                            precision=lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+            outs.append(m.reshape(side, side, 2))
+        return acc + jnp.stack(outs), None
+
+    hist0 = jnp.zeros((C, side, side, 2), jnp.float32)
+    hist, _ = lax.scan(body, hist0, (hi, lo, fgc, vc))
+    hist = hist.reshape(C, nb, 2)
+
+    # descending bucket order (largest errors first), per class
+    n_b = hist[:, ::-1, 0]
+    fg_b = hist[:, ::-1, 1]
+    gts = jnp.sum(fg_b, axis=1, keepdims=True)
+    cum_n = jnp.cumsum(n_b, axis=1)
+    cum_fg = jnp.cumsum(fg_b, axis=1)
+    inter = gts - cum_fg
+    union = gts + (cum_n - cum_fg)
+    jac = 1.0 - inter / jnp.maximum(union, 1e-8)
+    djac = jnp.concatenate([jac[:, :1], jac[:, 1:] - jac[:, :-1]], axis=1)
+    coef = djac / jnp.maximum(n_b, 1.0)          # avg grad over the block
+    coef = coef[:, ::-1]                          # back to bucket-id order
+    present = gts[:, 0] > 0
+    # absent classes are excluded from the mean (reference
+    # classes='present'); zero their tables so pass B can sum plainly
+    coef = coef * present[:, None].astype(jnp.float32)
+    return lax.stop_gradient(coef), present
+
+
+def lovasz_softmax_hist(logits, labels, *, num_classes: int,
+                        ignore_index: int = 255,
+                        class_weights: Optional[jnp.ndarray] = None,
+                        n_buckets: int = 4096,
+                        chunk: int = 1 << 15) -> jnp.ndarray:
+    """Counting-sweep Lovász-Softmax: O(N) histograms instead of 19 full
+    sorts (VERDICT r3 item 9 experiment).
+
+    Errors are quantized to a 4096-level linear key (absolute key error
+    <= 1.2e-4 on [0, 1]); tied pixels share the tie block's average
+    Lovász gradient — the exact value/gradient of the sorted formulation
+    under tie-aware telescoping, and within ~1e-4 of the f32-sort loss.
+    Two passes, both MXU one-hot matmuls over pixel chunks:
+      A (stop-grad) per-bucket (count, fg) histogram -> ΔJaccard/count
+        coefficient table;
+      B (differentiable) loss = Σ_p e_p * table[bucket(p)], checkpointed
+        so the backward recomputes one-hots instead of storing them.
+    """
+    del class_weights
+    C = num_classes
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.reshape(-1, C)
+    labels_f = labels.reshape(-1)
+    valid = _valid_mask(labels_f, C, ignore_index)
+    safe = _safe_labels(labels_f, C, valid)
+    validf = valid.astype(jnp.float32)
+    fg = (safe[:, None] == jnp.arange(C)).astype(jnp.float32)
+    errors = jnp.abs(fg - probs) * validf[:, None]
+
+    coef, present = _lovasz_bucket_tables(errors, fg, validf,
+                                          n_buckets, chunk)
+
+    nb = n_buckets
+    side = int(nb ** 0.5)
+    iota = jnp.arange(side, dtype=jnp.int32)
+    n = errors.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    err_p = jnp.pad(errors, ((0, pad), (0, 0))) if pad else errors
+    err_c = err_p.reshape(n_chunks, chunk, C)
+    G = coef.reshape(C, side, side)
+
+    @jax.checkpoint
+    def chunk_loss(e):
+        # coef lookup as one-hot matmul: coef_p = Σ_hl ph·pl·G[h,l]
+        q = jnp.clip((lax.stop_gradient(e) * (nb - 1)).astype(jnp.int32),
+                     0, nb - 1)
+        total = jnp.float32(0)
+        for c in range(C):
+            ph = (q[:, c] // side == iota[:, None]).astype(jnp.bfloat16)
+            pl = (q[:, c] % side == iota[:, None]).astype(jnp.bfloat16)
+            cp = jnp.einsum("hp,hl,lp->p", ph, G[c].astype(jnp.bfloat16),
+                            pl, preferred_element_type=jnp.float32)
+            total = total + jnp.dot(e[:, c], cp,
+                                    preferred_element_type=jnp.float32)
+        return total
+
+    def body(acc, e):
+        return acc + chunk_loss(e), None
+
+    loss_sum, _ = lax.scan(body, jnp.float32(0), err_c)
+    presents = present.astype(jnp.float32)
+    return loss_sum / jnp.maximum(jnp.sum(presents), 1e-8)
+
+
 LOSS_REGISTRY = {
     "ce": cross_entropy,
     "label_smoothing": partial(cross_entropy, label_smoothing=0.1),
     "ohem": ohem_cross_entropy,
     "focal": focal_loss,
     "lovasz": lovasz_softmax,
+    "lovasz_hist": lovasz_softmax_hist,
 }
 
 

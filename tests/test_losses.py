@@ -157,6 +157,35 @@ def test_lovasz_matches_naive_numpy(rng):
     assert float(got) == pytest.approx(ref, rel=1e-4, abs=1e-5)
 
 
+def test_lovasz_hist_matches_sort(rng):
+    """Counting-sweep Lovász must match the sort-based formulation: the
+    value within the 4096-bucket quantization error, and the gradient
+    element-wise (outside tie blocks both reduce to the same exact
+    ΔJaccard coefficient per pixel)."""
+    c = 6
+    logits, labels, _ = _rand_problem(rng, n=2, h=9, w=11, c=c,
+                                      ignore_frac=0.15)
+    lg, lb = jnp.asarray(logits), jnp.asarray(labels)
+
+    ref_v, ref_g = jax.value_and_grad(
+        lambda x: losses.lovasz_softmax(x, lb, num_classes=c))(lg)
+    got_v, got_g = jax.value_and_grad(
+        lambda x: losses.lovasz_softmax_hist(x, lb, num_classes=c,
+                                             chunk=256))(lg)
+    assert float(got_v) == pytest.approx(float(ref_v), abs=2e-3)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               atol=2e-3)
+
+
+def test_lovasz_hist_perfect_prediction_near_zero(rng):
+    labels = rng.randint(0, 4, size=(1, 8, 8)).astype(np.int64)
+    logits = 80.0 * np.eye(4, dtype=np.float32)[labels]
+    loss = losses.lovasz_softmax_hist(jnp.asarray(logits),
+                                      jnp.asarray(labels), num_classes=4,
+                                      chunk=64)
+    assert float(loss) < 1e-3
+
+
 def test_all_losses_jit_and_grad(rng):
     logits, labels, weights = _rand_problem(rng)
     for name in losses.LOSS_REGISTRY:
