@@ -48,8 +48,20 @@ def main():
     p.add_argument("--size", default="1024,2048")
     p.add_argument("--models", default=",".join(available_models()))
     p.add_argument("--classes", type=int, default=19)
+    p.add_argument("--seed_batches", default=None,
+                   help="prior zoo_bench json: start each model at its "
+                        "previously-working batch (skips known-failing "
+                        "compile attempts)")
+    p.add_argument("--out", default="zoo_bench.json")
     args = p.parse_args()
     h, w = (int(v) for v in args.size.split(","))
+
+    seed = {}
+    if args.seed_batches:
+        with open(args.seed_batches) as f:
+            for r in json.load(f)["rows"]:
+                if r.get("batch"):
+                    seed[r["model"]] = r["batch"]
 
     rows = []
     for name in args.models.split(","):
@@ -57,7 +69,9 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 128, 3), jnp.float32))
         result = None
-        for batch in (128, 64, 32, 16, 8, 4, 2, 1):
+        ladder = [b for b in (128, 64, 32, 16, 8, 4, 2, 1)
+                  if b <= seed.get(name, 128)]
+        for batch in ladder:
             x = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 3),
                                   jnp.bfloat16)
             try:
@@ -72,11 +86,10 @@ def main():
         print(f"{name:12s} "
               + (f"b{result[0]:2d}  {result[1]:7.1f} img/s" if result
                  else "FAILED"), flush=True)
-
-    with open("zoo_bench.json", "w") as f:
-        json.dump({"size": [h, w], "dtype": "bfloat16",
-                   "device": str(jax.devices()[0]), "rows": rows}, f,
-                  indent=1)
+        with open(args.out, "w") as f:  # incremental: survive crashes
+            json.dump({"size": [h, w], "dtype": "bfloat16",
+                       "device": str(jax.devices()[0]), "rows": rows}, f,
+                      indent=1)
     print("| model | batch | img/s/chip |")
     print("|---|---|---|")
     for r in rows:
