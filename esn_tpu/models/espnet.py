@@ -46,6 +46,31 @@ class ESPModule(nn.Module):
         self.residual = residual and stride == 1 and in_ch == out_ch
 
     def __call__(self, scope, x):
+        # per-model default (ctor): ON everywhere since the ScanChain
+        # rewrite — the tiled-kernel graph used to push ESPNet-C's b64
+        # full-res eval graph over the compile-helper ceiling (b16 fallback
+        # 84.3 vs 140.2 plain), but with the levels scanned it compiles and
+        # wins: espnet_c 154.7 -> 180.6 img/s b64 2048x1024 bf16.
+        # Env forces: 1 = on, 0 = off.
+        mode = os.environ.get("ESN_TPU_ESP_FUSED_HFF", "")
+        on = self.fused_hff if mode == "" else mode == "1"
+        # reduce-fold experiment: when the reduce is 1x1/s1 and the input
+        # is a plain tensor, compose reduce INTO the branch kernels
+        # (reduce has no BN/act before the branches — purely linear,
+        # exact; f64 parity test). Hypothesis was that killing the
+        # lane-padded d~25-ch reduced tensor beats the 5x dense-K flops.
+        # MEASURED WRONG: espnet_c 193.0 (folded) vs 301.3 (unfolded)
+        # img/s b128 2048x1024 bf16, and the bigger kernels push espnet
+        # over the b64 compile-helper ceiling — default OFF, kept as an
+        # env-gated experiment (ESN_TPU_ESP_FOLD_REDUCE=1).
+        fold = (on and not scope.is_init
+                and not isinstance(x, (list, tuple))
+                and tuple(self.reduce.kernel) == (1, 1)
+                and os.environ.get("ESN_TPU_ESP_FOLD_REDUCE", "0") == "1")
+        if fold:
+            # params still created by the unfused path at init time
+            return self._finish(scope, x, self._fused_hff(
+                scope, x, fold_reduce=True))
         if isinstance(x, (list, tuple)):
             # virtual-concat input (raw-input injection / skip concats):
             # the reduce conv splits its kernel over the pieces instead of
@@ -55,14 +80,6 @@ class ESPModule(nn.Module):
             y = self.reduce.pieces_apply(scope.child("reduce"), x)
         else:
             y = scope("reduce", self.reduce, x)
-        # per-model default (ctor): ON everywhere since the ScanChain
-        # rewrite — the tiled-kernel graph used to push ESPNet-C's b64
-        # full-res eval graph over the compile-helper ceiling (b16 fallback
-        # 84.3 vs 140.2 plain), but with the levels scanned it compiles and
-        # wins: espnet_c 154.7 -> 180.6 img/s b64 2048x1024 bf16.
-        # Env forces: 1 = on, 0 = off.
-        mode = os.environ.get("ESN_TPU_ESP_FUSED_HFF", "")
-        on = self.fused_hff if mode == "" else mode == "1"
         if on and not scope.is_init:
             y = self._fused_hff(scope, y)
         else:
@@ -75,11 +92,14 @@ class ESPModule(nn.Module):
                 acc = outs[i] if i == 1 else acc + outs[i]
                 fused.append(acc)
             y = jnp.concatenate(fused, axis=-1)
+        return self._finish(scope, x, y)
+
+    def _finish(self, scope, x, y):
         if self.residual:
             y = y + x
         return scope("post", self.post, y)
 
-    def _fused_hff(self, scope, y):
+    def _fused_hff(self, scope, y, fold_reduce=False):
         """HFF + concat folded into the branch kernels.
 
         The reference computes K narrow dilated convs (d_out = 12-28 ch),
@@ -101,9 +121,18 @@ class ESPModule(nn.Module):
             blocks.append((off, off + b.out_ch))
             off += b.out_ch
         out_ch = off
+        wr2 = None
+        if fold_reduce:
+            # ``y`` here is the MODULE input; compose the 1x1 reduce into
+            # each branch kernel (linear ∘ linear — exact):
+            # K_eff[k,l,a,o] = Σ_m Wr[a,m] · Wbr[k,l,m,o]
+            wr, _ = self.reduce.params(scope.child("reduce"))
+            wr2 = wr[0, 0]                        # (in_ch, d)
         acc = None
         for j, br in enumerate(self.branches):
             w, _ = br.params(scope.child(f"d{j}"))
+            if wr2 is not None:
+                w = jnp.einsum("am,klmo->klao", wr2, w)
             lo = blocks[j][0]
             hi = out_ch if j >= 1 else blocks[0][1]
             # place the branch kernel into concat blocks [lo, hi) — for

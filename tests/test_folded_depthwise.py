@@ -254,20 +254,34 @@ def test_esp_fused_hff_matches_plain(rng, in_ch, out_ch, stride, k):
 
 
 def test_espnet_c_full_fused_hff_matches_plain(rng):
+    """f64 so the check is EXACT: at f32 the random-init (unnormalized)
+    10-module stack amplifies benign reassociation rounding to ~1e-1,
+    which can't distinguish a rewrite bug from noise. In f64 the fused
+    HFF + reduce-fold rewrites agree to ~1e-10 (they are the same
+    linear algebra re-associated)."""
     from esn_tpu.models import build_model
     model = build_model("espnet_c", 19)
-    x = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    x32 = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x32)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        v64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32
+            else a, variables)
+        x = x32.astype(jnp.float64)
 
-    def run(on):
-        os.environ["ESN_TPU_ESP_FUSED_HFF"] = "1" if on else "0"
-        try:
-            return nn.apply(model, variables, x, train=False)
-        finally:
-            os.environ.pop("ESN_TPU_ESP_FUSED_HFF", None)
+        def run(on):
+            os.environ["ESN_TPU_ESP_FUSED_HFF"] = "1" if on else "0"
+            try:
+                return nn.apply(model, v64, x, train=False)
+            finally:
+                os.environ.pop("ESN_TPU_ESP_FUSED_HFF", None)
 
-    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
-                               rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(run(True)),
+                                   np.asarray(run(False)),
+                                   rtol=1e-9, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_cgnet_full_folded_matches_plain(rng):
@@ -286,3 +300,23 @@ def test_cgnet_full_folded_matches_plain(rng):
 
     np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_esp_fold_reduce_matches_unfolded(rng):
+    """Reduce-fold (1x1 reduce composed into branch kernels) is exact."""
+    from esn_tpu.models.espnet import ESPModule
+    block = ESPModule(64, 64, k=5, residual=True)
+    x = jnp.asarray(rng.randn(2, 16, 32, 64).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+
+    def run(fold):
+        os.environ["ESN_TPU_ESP_FUSED_HFF"] = "1"
+        os.environ["ESN_TPU_ESP_FOLD_REDUCE"] = "1" if fold else "0"
+        try:
+            return nn.apply(block, variables, x, train=False)
+        finally:
+            os.environ.pop("ESN_TPU_ESP_FUSED_HFF", None)
+            os.environ.pop("ESN_TPU_ESP_FOLD_REDUCE", None)
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               rtol=1e-4, atol=1e-4)
