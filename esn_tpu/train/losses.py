@@ -202,8 +202,12 @@ def lovasz_softmax(logits, labels, *, num_classes: int,
     sort of the per-class errors over all B·H·W pixels, x num_classes —
     at 2048x1024 that is 19 sorts of 8.4M elements and training runs at
     ~1.3 img/s vs ~150 for CE/OHEM (benchmarks/zoo_train_lovasz_*.json).
-    Unlike OHEM's kth-value there is no counting-sweep shortcut without
-    changing the gradient; prefer OHEM at production resolution.
+    A counting-sweep reformulation DOES exist (round-3's "no shortcut
+    without changing the gradient" was over-strong): quantizing errors to
+    4096 buckets and using the tie-block-average gradient —
+    ``lovasz_softmax_hist`` below — is exact up to a <=1.2e-4 key
+    quantization and runs 6.2x faster (8.0 img/s, same benchmark json).
+    Both remain far from CE/OHEM; prefer OHEM at production resolution.
     """
     del class_weights
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
