@@ -140,6 +140,20 @@ def main():
                         bench_npy(root, paths, h, w, args.epochs), 2)
                 results[key] = entry
                 print(key, json.dumps(entry))
+                if (h, w, ext) == (1024, 2048, "png"):
+                    # measured thread-scaling curve (VERDICT r3 item 7:
+                    # the "scales with decode threads" claim must be a
+                    # measurement, not an extrapolation — even 1 core
+                    # shows the read+decode overlap slice)
+                    curve = {}
+                    for t in (1, 2, 4, 8):
+                        r = bench_native(paths, h, w, args.epochs,
+                                         threads=t)
+                        if r is None:
+                            break
+                        curve[str(t)] = round(r, 2)
+                    results[f"{key}_native_threads_curve"] = curve
+                    print(f"{key} thread curve", json.dumps(curve))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
