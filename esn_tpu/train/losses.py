@@ -87,6 +87,90 @@ def cross_entropy(logits, labels, *, num_classes: int,
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
+def resize_cross_entropy(z, labels, *, num_classes: int,
+                         class_weights: Optional[jnp.ndarray] = None,
+                         ignore_index: int = 255,
+                         label_smoothing: float = 0.0) -> jnp.ndarray:
+    """CE(bilinear_upsample(z), labels) WITHOUT materializing the
+    full-res logits or their cotangent.
+
+    The reference trains every resize-tail model on logits upsampled to
+    label resolution [R: train.py loss over F.interpolate'd logits]. At
+    2048x1024 b8 that (B,H,W,19) tensor plus its backward cotangent is
+    the largest removable byte slab of an HBM-saturated train step
+    (measured 8.6 ms of 59.7 — see tools/bench_train_decomp.py and the
+    BOUNDS.md training section). Here the SAME scalar is computed by a
+    ``lax.scan`` over one-lowres-row blocks (s = H/h full-res rows): per
+    block, slice the <=3 contributing lowres rows, apply the half-pixel
+    bilinear taps (identical semantics to ops/resize.py — for a 2-tap
+    kernel, edge clamping equals jax.image.resize's weight
+    renormalization), run the gather-free CE, and accumulate
+    (weighted-sum, weight-sum). Block intermediates are ~s*W*C (VMEM
+    scale); the backward accumulates directly into the small lowres dz
+    via dynamic_update_slice adds — no full-res scatter ever exists.
+    Exact in f32 (parity-tested against cross_entropy∘resize_bilinear);
+    on TPU it additionally skips the bf16 rounding the unfused path
+    applies to the resized logits.
+
+    Requires an integer isotropic scale; anything else falls back to the
+    materialized path.
+    """
+    B, h, w, C = z.shape
+    Hl, Wl = labels.shape[1], labels.shape[2]
+    from ..ops.resize import resize_bilinear
+    if Hl % h or Wl % w or Hl // h != Wl // w or Hl == h:
+        full = resize_bilinear(z.astype(jnp.float32), (Hl, Wl))
+        return cross_entropy(full, labels, num_classes=num_classes,
+                             class_weights=class_weights,
+                             ignore_index=ignore_index,
+                             label_smoothing=label_smoothing)
+    s = Hl // h
+    kw = min(3, h)
+    phases = []
+    for p in range(s):
+        phi = (p + 0.5) / s - 0.5
+        io = -1 if phi < 0 else 0
+        phases.append((io, phi - io))           # static (offset, frac)
+
+    # (h, B, s, W) label blocks as scan xs
+    ys = labels.reshape(B, h, s, Wl).transpose(1, 0, 2, 3)
+    cw = None if class_weights is None else class_weights
+
+    def body(carry, inp):
+        q, yb = inp
+        num, den = carry
+        w0 = jnp.clip(q - 1, 0, h - kw)
+        win = lax.dynamic_slice(z, (0, w0, 0, 0),
+                                (B, kw, w, C)).astype(jnp.float32)
+        # column upsample by phase: static slices of an edge-padded copy
+        # (transpose = pad-add; no scatter)
+        winp = jnp.pad(win, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+        cols = []
+        for io, t in phases:
+            a = lax.slice_in_dim(winp, 1 + io, 1 + io + w, axis=2)
+            b = lax.slice_in_dim(winp, 2 + io, 2 + io + w, axis=2)
+            cols.append((1.0 - t) * a + t * b)
+        # interleave phases: (B, kw, w, s, C) -> (B, kw, W, C)
+        colw = jnp.stack(cols, axis=3).reshape(B, kw, Wl, C)
+        rows = []
+        for io, t in phases:
+            r0 = jnp.clip(q + io, 0, h - 1) - w0
+            r1 = jnp.clip(q + io + 1, 0, h - 1) - w0
+            rows.append((1.0 - t) * jnp.take(colw, r0, axis=1)
+                        + t * jnp.take(colw, r1, axis=1))
+        block = jnp.stack(rows, axis=1)          # (B, s, W, C) f32
+        nll, safe, valid = _per_pixel_ce(block, yb, num_classes,
+                                         ignore_index, label_smoothing)
+        wv = valid.astype(jnp.float32) if cw is None else \
+            _weights_at(cw, safe, num_classes) * valid.astype(jnp.float32)
+        return (num + jnp.sum(wv * nll), den + jnp.sum(wv)), None
+
+    (num, den), _ = lax.scan(
+        body, (jnp.float32(0), jnp.float32(0)),
+        (jnp.arange(h, dtype=jnp.int32), ys))
+    return num / jnp.maximum(den, 1e-8)
+
+
 def kth_smallest(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Exact k-th smallest (1-indexed, static ``k``) of a 1-D array of
     non-negative finite float32s, in O(N).
@@ -362,6 +446,30 @@ def lovasz_softmax_hist(logits, labels, *, num_classes: int,
     loss_sum, _ = lax.scan(body, jnp.float32(0), err_c)
     presents = present.astype(jnp.float32)
     return loss_sum / jnp.maximum(jnp.sum(presents), 1e-8)
+
+
+def fused_resize_ce_spec(model, loss_name: str):
+    """(loss_builder, fwd_method) for the fused resize-CE path, or
+    (None, None) when not eligible. Eligible = CE-family loss on a
+    resize-tail model (``LOGITS_TAIL == "resize"`` with a
+    ``logits_lowres`` method) with ``ESN_TPU_FUSED_CE=1``.
+
+    Default OFF — measured perf-NEUTRAL at 2048x1024 b8 on v5e
+    (fastscnn 149.9 vs 149.7, contextnet 109.2 vs 109.7, espnet_c 25.6
+    vs 25.6): the scan's per-block temporaries round-trip HBM about as
+    much as the full-res logits the rewrite removes, i.e. XLA was
+    already fusing the materialized tail competitively. Collecting the
+    measured 8.6 ms loss-tail slice (tools/bench_train_decomp.py probe)
+    would need a VMEM-resident Pallas CE; kept as an exact, tested
+    experiment."""
+    if (loss_name in ("ce", "label_smoothing")
+            and getattr(model, "LOGITS_TAIL", "conv") == "resize"
+            and hasattr(model, "logits_lowres")
+            and os.environ.get("ESN_TPU_FUSED_CE", "0") == "1"):
+        smooth = 0.1 if loss_name == "label_smoothing" else 0.0
+        return partial(resize_cross_entropy, label_smoothing=smooth), \
+            "logits_lowres"
+    return None, None
 
 
 LOSS_REGISTRY = {

@@ -32,7 +32,8 @@ def make_train_step(model: nn.Module, loss_fn: Callable,
                     compute_dtype=jnp.float32,
                     grad_accum: int = 1,
                     donate: bool = True,
-                    remat: bool = False):
+                    remat: bool = False,
+                    fwd_method: Optional[str] = None):
     """Build ``step(state, batch, rng) -> (state, metrics)``, jitted.
 
     batch: {"image": NHWC float, "label": NHW int}. ``loss_fn(logits, labels)``
@@ -41,12 +42,16 @@ def make_train_step(model: nn.Module, loss_fn: Callable,
     (``jax.checkpoint``) — trades ~1 extra forward of FLOPs for dropping
     activation storage; this is what makes full-resolution 2048x1024 batches
     fit HBM (BASELINE config 5 / SURVEY §7 hard-part 6).
+    ``fwd_method`` runs a non-default forward (e.g. ``"logits_lowres"``
+    paired with ``losses.resize_cross_entropy`` so the full-res logits
+    tensor never materializes — the loss owns the upsample).
     """
 
     def fwd(params, stats, images, labels, step_rng):
         logits, new_vars = nn.apply(
             model, {"params": params, "stats": stats}, images,
-            train=True, mutable=True, rngs={"dropout": step_rng})
+            train=True, mutable=True, rngs={"dropout": step_rng},
+            method=fwd_method)
         loss = loss_fn(logits.astype(jnp.float32), labels)
         return loss, new_vars["stats"]
 
@@ -88,7 +93,7 @@ def make_train_step(model: nn.Module, loss_fn: Callable,
                 logits, new_vars = nn.apply(
                     model, {"params": params, "stats": stats},
                     im.astype(compute_dtype), train=True, mutable=True,
-                    rngs={"dropout": r})
+                    rngs={"dropout": r}, method=fwd_method)
                 return loss_fn(logits.astype(jnp.float32), lb), \
                     new_vars["stats"]
 

@@ -152,10 +152,20 @@ class Trainer:
                 b, self.mesh)
         compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
             else jnp.float32
+        # fused resize-CE (ESN_TPU_FUSED_CE=1, default off): the loss owns
+        # the upsample (losses.resize_cross_entropy) and the full-res
+        # logits never materialize. Exact, but measured perf-NEUTRAL at
+        # config-5 scale — see fused_resize_ce_spec's docstring.
+        from .losses import fused_resize_ce_spec
+        fused_loss, fwd_method = (None, None) if cfg.spatial > 1 \
+            else fused_resize_ce_spec(self.model, cfg.loss)
+        if fused_loss is not None:
+            self.loss_fn = (lambda lg, lb: fused_loss(
+                lg, lb, class_weights=weights, **loss_kwargs))
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.tx, schedule=self.schedule,
             compute_dtype=compute_dtype, grad_accum=cfg.grad_accum,
-            remat=cfg.remat)
+            remat=cfg.remat, fwd_method=fwd_method)
         self.eval_step = make_eval_step(
             self.model, self.spec.num_classes,
             ignore_index=self.spec.ignore_label,

@@ -198,3 +198,57 @@ def test_all_losses_jit_and_grad(rng):
 
         g = jax.grad(f)(jnp.asarray(logits))
         assert np.all(np.isfinite(np.asarray(g))), name
+
+
+@pytest.mark.parametrize("s,hw", [(4, (6, 8)), (8, (5, 7))])
+def test_resize_ce_matches_materialized(rng, s, hw):
+    """Chunked resize-CE == CE over a materialized bilinear upsample,
+    value and gradient, with class weights + ignore pixels."""
+    from esn_tpu.ops.resize import resize_bilinear
+    h, w = hw
+    c = 5
+    z = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+    labels = rng.randint(0, c, size=(2, h * s, w * s)).astype(np.int64)
+    labels[rng.rand(*labels.shape) < 0.2] = 255
+    labels = jnp.asarray(labels)
+    weights = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+
+    def ref(zz):
+        full = resize_bilinear(zz.astype(jnp.float32),
+                               (h * s, w * s))
+        return losses.cross_entropy(full, labels, num_classes=c,
+                                    class_weights=weights,
+                                    ignore_index=255)
+
+    def got(zz):
+        return losses.resize_cross_entropy(zz, labels, num_classes=c,
+                                           class_weights=weights,
+                                           ignore_index=255)
+
+    rv, rg = jax.value_and_grad(ref)(z)
+    gv, gg = jax.value_and_grad(got)(z)
+    assert float(gv) == pytest.approx(float(rv), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_resize_ce_label_smoothing_and_fallback(rng):
+    from esn_tpu.ops.resize import resize_bilinear
+    c = 4
+    z = jnp.asarray(rng.randn(1, 6, 6, c).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, c, size=(1, 24, 24)))
+    ref = losses.cross_entropy(
+        resize_bilinear(z, (24, 24)), labels, num_classes=c,
+        ignore_index=255, label_smoothing=0.1)
+    got = losses.resize_cross_entropy(z, labels, num_classes=c,
+                                      ignore_index=255,
+                                      label_smoothing=0.1)
+    assert float(got) == pytest.approx(float(ref), rel=1e-5)
+    # anisotropic scale falls back to the materialized path
+    lab2 = jnp.asarray(rng.randint(0, c, size=(1, 24, 12)))
+    ref2 = losses.cross_entropy(
+        resize_bilinear(z, (24, 12)), lab2, num_classes=c,
+        ignore_index=255)
+    got2 = losses.resize_cross_entropy(z, lab2, num_classes=c,
+                                       ignore_index=255)
+    assert float(got2) == pytest.approx(float(ref2), rel=1e-6)

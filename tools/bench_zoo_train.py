@@ -27,7 +27,13 @@ from esn_tpu.train.step import make_train_step
 
 def make_runner(model, variables, *, loss="ce", classes=19, remat=False,
                 lr=4.5e-4):
-    loss_fn = build_loss(loss, num_classes=classes, ignore_index=255)
+    from esn_tpu.train.losses import fused_resize_ce_spec
+    fused, fwd_method = fused_resize_ce_spec(model, loss)
+    if fused is not None:  # same path the Trainer builds
+        loss_fn = lambda lg, lb: fused(lg, lb, num_classes=classes,
+                                       ignore_index=255)
+    else:
+        loss_fn = build_loss(loss, num_classes=classes, ignore_index=255)
     sched = poly_schedule(lr, 1000)
     tx = build_optimizer("adam", sched)
     step = make_train_step(model, lambda lg, lb: loss_fn(lg, lb),
