@@ -98,17 +98,27 @@ def main():
                                                 jnp.bfloat16),
                      "label": jax.random.randint(ky, (batch, h, w), 0,
                                                  args.classes, jnp.int32)}
-                try:
-                    state, mk = make_runner(model, variables,
-                                            loss=args.loss,
-                                            classes=args.classes,
-                                            remat=remat)
-                    dt = slope_time(state, mk, b, jax.random.PRNGKey(2))
-                    result = (batch, batch / dt, remat)
+                # retry once: the remote compile helper occasionally
+                # crashes ("HTTP 500 ... subprocess exited") on graphs
+                # that compile fine on a second attempt — without the
+                # retry a transient permanently drops the model down the
+                # batch ladder and underrecords it ~2x (observed r4:
+                # cgnet/dabnet b8, both fine in r3)
+                for attempt in (0, 1):
+                    try:
+                        state, mk = make_runner(model, variables,
+                                                loss=args.loss,
+                                                classes=args.classes,
+                                                remat=remat)
+                        dt = slope_time(state, mk, b, jax.random.PRNGKey(2))
+                        result = (batch, batch / dt, remat)
+                        break
+                    except Exception as e:  # noqa: BLE001 (OOM, relay)
+                        print(f"  {name} b{batch} remat={remat} "
+                              f"attempt {attempt} failed: "
+                              f"{str(e).splitlines()[0][:90]}", flush=True)
+                if result:
                     break
-                except Exception as e:  # noqa: BLE001 (OOM, relay faults)
-                    print(f"  {name} b{batch} remat={remat} failed: "
-                          f"{str(e).splitlines()[0][:90]}", flush=True)
             if result:
                 break
         rows.append({"model": name,
@@ -119,11 +129,11 @@ def main():
               + (f"b{result[0]:2d}{' remat' if result[2] else '':6s}"
                  f" {result[1]:7.1f} img/s" if result else "FAILED"),
               flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump({"size": [h, w], "dtype": "bfloat16", "loss": args.loss,
-                   "device": str(jax.devices()[0]), "rows": rows}, f,
-                  indent=1)
+        with open(args.out, "w") as f:  # incremental: survive crashes
+            json.dump({"size": [h, w], "dtype": "bfloat16",
+                       "loss": args.loss,
+                       "device": str(jax.devices()[0]), "rows": rows}, f,
+                      indent=1)
     print("| model | batch | train img/s/chip | remat |")
     print("|---|---|---|---|")
     for r in rows:
