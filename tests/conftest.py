@@ -82,6 +82,9 @@ SLOW_TESTS = {
     "test_model_predict_falls_back_unfused_on_cpu",      # 48 s
     "test_resize_argmax_bf16_near_tie_rate",             # 35 s
     "test_predict_matches_argmax_of_logits[espnet_c]",   # 14 s (dabnet ~4 s becomes the quick smoke)
+    "test_resize_argmax_matches_f32_oracle[8]",          # 14 s (factors 2/3/4 stay quick)
+    "test_lovasz_hist_matches_sort",                     # 8 s (perfect-prediction test is the quick smoke)
+    "test_resize_ce_matches_materialized[8-hw1]",        # s=8 variant; s=4 stays quick
 }
 QUICK_OVERRIDES = set()   # test_enet_jit_forward grew to 25 s — now slow
 
