@@ -68,8 +68,11 @@ def _resize_pair(images, labels, hw):
     b = images.shape[0]
     oh, ow = hw
     if images.shape[1:3] != (oh, ow):
+        # antialias=False: cv2.INTER_LINEAR samples a plain 2-tap kernel
+        # on downscale too (the s<1 scale branches minify) — see
+        # ops/resize.py r4 note
         images = jax.image.resize(images, (b, oh, ow, images.shape[-1]),
-                                  method="bilinear")
+                                  method="bilinear", antialias=False)
         labels = jax.image.resize(labels, (b, oh, ow), method="nearest")
     return images, labels
 
@@ -162,7 +165,7 @@ def make_eval_transform(*, mean: np.ndarray, std: Optional[np.ndarray] = None,
             b = x.shape[0]
             x = jax.image.resize(
                 x, (b, resize_hw[0], resize_hw[1], x.shape[-1]),
-                method="bilinear")
+                method="bilinear", antialias=False)
         return x
 
     return transform

@@ -14,12 +14,22 @@ import jax.numpy as jnp
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize to (H, W); matches torch align_corners=False."""
+    """Bilinear resize to (H, W); matches torch align_corners=False.
+
+    ``antialias=False`` is required for reference parity on DOWNSCALE:
+    torch ``F.interpolate`` and cv2 ``INTER_LINEAR`` sample a plain
+    2-tap bilinear kernel at every scale, while jax.image.resize
+    defaults to widening the kernel when minifying (maxabs diff 1.28 on
+    unit-normal data at 4x — caught r4 via the ContextNet deep-branch
+    input). For upsampling antialias is a no-op, so every fused predict
+    tail keeps its semantics.
+    """
     n, h, w, c = x.shape
     oh, ow = size
     if (oh, ow) == (h, w):
         return x
-    out = jax.image.resize(x, (n, oh, ow, c), method="bilinear")
+    out = jax.image.resize(x, (n, oh, ow, c), method="bilinear",
+                           antialias=False)
     return out.astype(x.dtype)
 
 

@@ -85,6 +85,21 @@ def test_resize_bilinear_matches_torch(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("size", [(4, 8), (3, 13), (4, 48)])
+def test_resize_bilinear_downsample_matches_torch(rng, size):
+    """DOWNSCALE parity (r4): torch/cv2 keep the 2-tap kernel when
+    minifying; jax.image.resize antialiases unless told not to — the
+    ContextNet deep branch and the s<1 augment scales hit this path."""
+    torch = pytest.importorskip("torch")
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=size, mode="bilinear",
+        align_corners=False).numpy()
+    y = ops.resize_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), size)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv2d_custom_weight_grad_matches_native(rng):
     """The hand-written dW (K*K strided einsums) == XLA's native conv grad."""
     from esn_tpu.ops.convolution import conv2d, _conv_raw
