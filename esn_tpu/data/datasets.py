@@ -135,13 +135,23 @@ class ManifestDataset:
         label = arr[..., 3] if arr.shape[-1] == 4 else None
         if lab_path is not None:  # separately-packed label column
             label = np.load(lab_path)
-        if self.resize_hw is not None and \
-                tuple(image.shape[:2]) != tuple(self.resize_hw):
+            if label.ndim != 2:
+                raise ValueError(
+                    f"packed label {lab_path} has shape {label.shape}; "
+                    "expected (H, W) from tools/pack_dataset.py")
+            # pack_dataset guarantees uint8; cast defensively — cv2.resize
+            # rejects int32/int64 input (ADVICE r4)
+            label = label.astype(np.uint8, copy=False)
+        if self.resize_hw is not None:
             import cv2
             h, w = self.resize_hw
-            image = cv2.resize(image, (w, h),
-                               interpolation=cv2.INTER_LINEAR)
-            if label is not None:
+            if tuple(image.shape[:2]) != (h, w):
+                image = cv2.resize(image, (w, h),
+                                   interpolation=cv2.INTER_LINEAR)
+            # key the label resize on the label's own shape — a label
+            # packed at a different resolution than its image must still
+            # land on resize_hw (ADVICE r4)
+            if label is not None and tuple(label.shape[:2]) != (h, w):
                 label = cv2.resize(label, (w, h),
                                    interpolation=cv2.INTER_NEAREST)
         item = {"image": np.ascontiguousarray(image, dtype=np.uint8),

@@ -154,6 +154,13 @@ def make_eval_step(model: nn.Module, num_classes: int, *,
                         batch["image"].astype(compute_dtype), train=False,
                         method="predict")
         labels = batch["label"]
+        if pred.shape != labels.shape:  # trace-time check, zero runtime cost
+            raise ValueError(
+                f"model output {pred.shape[1:]} != label {labels.shape[1:]}"
+                f" - the eval resolution must be divisible by the model's"
+                f" output stride (the reference assumes this implicitly:"
+                f" CamVid 360x480, Cityscapes 1024x2048 are both divisible"
+                f" by 8). Fix: --val_size H,W with compatible H,W.")
         if "valid" in batch:
             row = jax.lax.broadcasted_iota(jnp.int32, labels.shape, 0)
             labels = jnp.where(row < batch["valid"], labels, ignore_index)

@@ -222,6 +222,35 @@ def test_packed_npy_roundtrip_and_builders(tmp_path):
     assert x.shape == (2, 32, 48, 3) and y.shape == (2, 32, 48)
 
 
+def test_packed_separate_label_resolution_and_dtype(tmp_path):
+    """A separately-packed label .npy at a DIFFERENT resolution than its
+    image must still land on resize_hw, and an int-typed label must be
+    cast before cv2.resize (which rejects int32/int64) — ADVICE r4."""
+    pytest.importorskip("cv2")
+    r = np.random.RandomState(7)
+    img = r.randint(0, 255, (40, 56, 3), np.uint8)
+    lab = r.randint(0, 11, (20, 28), np.int32)  # half-res, wrong dtype
+    ip, lp = tmp_path / "img.npy", tmp_path / "lab.npy"
+    np.save(ip, img)
+    np.save(lp, lab)
+    spec = D.get_spec("camvid")
+    ds = D.ManifestDataset([(str(ip), str(lp))], spec, resize_hw=(40, 56))
+    item = ds[0]
+    assert item["image"].shape == (40, 56, 3)
+    assert item["label"].shape == (40, 56)  # resized off its OWN shape
+    assert item["label"].dtype == np.int32  # final contract dtype
+    # nearest-neighbor upscale of a half-res label keeps the value set
+    assert set(np.unique(item["label"])) <= set(np.unique(lab))
+
+    # malformed separately-packed label: loud, not silent
+    bad = tmp_path / "bad.npy"
+    np.save(bad, r.randint(0, 11, (20, 28, 2), np.uint8))
+    ds_bad = D.ManifestDataset([(str(ip), str(bad))], spec,
+                               resize_hw=(40, 56))
+    with pytest.raises(ValueError, match="packed label"):
+        ds_bad[0]
+
+
 def test_device_prefetch_consumer_abandons():
     """Abandoning the generator mid-epoch must retire the producer thread."""
     import threading

@@ -39,7 +39,7 @@ def make_runner(model, variables, *, loss="ce", classes=19, remat=False,
     step = make_train_step(model, lambda lg, lb: loss_fn(lg, lb),
                            tx, schedule=sched,
                            compute_dtype=jnp.bfloat16, donate=False,
-                           remat=remat)
+                           remat=remat, fwd_method=fwd_method)
     state = TrainState.create(variables, tx)
 
     def mk(iters):

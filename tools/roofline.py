@@ -196,7 +196,19 @@ def tpu_train_pass(out_path, only=None, force=False):
     for key, row in sorted(data["train"].items()):
         if "error" in row or row.get("batch") is None:
             continue
-        name, loss = key.rsplit("_", 1)
+        # keys are f"{model}_{loss}"; loss names can be multi-token
+        # (lovasz_hist), so match against the known loss set rather than
+        # rsplit — rsplit turned fastscnn_lovasz_hist into model
+        # "fastscnn_lovasz" and silently recorded a tpu_error (ADVICE r4)
+        name, loss = row.get("model"), row.get("loss")
+        if name is None or loss is None:
+            from esn_tpu.train.losses import LOSS_REGISTRY
+            for cand in sorted(LOSS_REGISTRY, key=len, reverse=True):
+                if key.endswith("_" + cand):
+                    name, loss = key[: -len(cand) - 1], cand
+                    break
+            else:
+                name, loss = key.rsplit("_", 1)
         if only and name not in only:
             continue
         if not force and ("pct_HBM_roof" in row or "tpu_error" in row):
@@ -383,6 +395,7 @@ def main():
             _, n_params = flops_per_img_infer(r["model"])
             byt = compulsory_bytes(n_params) + H * W * 4  # + label read
             out["train"][key] = dict(
+                model=r["model"], loss=loss,
                 img_per_s=r["img_per_s"], batch=r["batch"],
                 gflops_per_img=round(fl / 1e9, 2),
                 **classify(r["img_per_s"], fl, byt))
