@@ -454,14 +454,16 @@ def fused_resize_ce_spec(model, loss_name: str):
     resize-tail model (``LOGITS_TAIL == "resize"`` with a
     ``logits_lowres`` method) with ``ESN_TPU_FUSED_CE=1``.
 
-    Default OFF — measured perf-NEUTRAL at 2048x1024 b8 on v5e
-    (fastscnn 149.9 vs 149.7, contextnet 109.2 vs 109.7, espnet_c 25.6
-    vs 25.6): the scan's per-block temporaries round-trip HBM about as
-    much as the full-res logits the rewrite removes, i.e. XLA was
-    already fusing the materialized tail competitively. Collecting the
-    measured 8.6 ms loss-tail slice (tools/bench_train_decomp.py probe)
-    would need a VMEM-resident Pallas CE; kept as an exact, tested
-    experiment."""
+    Default OFF — measured 2.4x SLOWER at 2048x1024 b8 on v5e
+    (fastscnn 62.3 vs 148.8 img/s, contextnet 54.8 vs 109.7, r5 A/B
+    with the fwd_method actually wired — the r4 'perf-neutral' record
+    was a no-op comparison, caught by ADVICE r4): the scanned
+    block-CE's temporaries and the backward through the scan cost far
+    more than the full-res logits tensor the rewrite removes; XLA's
+    fusion of the materialized resize+CE tail is strongly competitive.
+    Collecting the measured 8.6 ms loss-tail slice
+    (tools/bench_train_decomp.py probe) would need a VMEM-resident
+    Pallas CE with a custom VJP; kept as an exact, tested experiment."""
     if (loss_name in ("ce", "label_smoothing")
             and getattr(model, "LOGITS_TAIL", "conv") == "resize"
             and hasattr(model, "logits_lowres")
