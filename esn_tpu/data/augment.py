@@ -20,11 +20,13 @@ workers. Here the whole pipeline is one XLA program on the accelerator:
   resolution and rarely helps the 512-1024px crops used here);
   REFERENCE_SCALES includes 0.5 per SURVEY §2.2's ~0.5-2.0x set and is the
   default in reference mode.
-- known residual difference in BOTH modes: the reference resamples
-  scale-then-crop (cv2.resize the whole image, then crop); we crop-then-
-  resize (same distribution over source windows, different resample
-  association — border pixels of a crop see slightly different bilinear
-  support). Documented in PARITY.md; not togglable without dynamic shapes.
+- resample order: the reference resamples scale-then-crop (cv2.resize the
+  whole image, then crop). ``reference`` mode now does EXACTLY that — the
+  scale set is discrete, so each scale's scaled shape is static and the
+  whole thing stays one XLA program (r5, closes PARITY knob #5; oracle
+  test vs the cv2 pipeline at every scale). The default ``batch`` mode
+  keeps crop-then-resize (crop C/s source px, resize to C — same window
+  distribution, cheaper, sub-pixel border difference at crop edges).
 - normalization (mean subtraction, reference convention: BGR means, no std
   division) is fused into the same program.
 """
@@ -65,16 +67,45 @@ def _batch_crop(images, labels, key, src_h, src_w):
 
 
 def _resize_pair(images, labels, hw):
+    from ..ops.resize import resize_nearest_cv2
     b = images.shape[0]
     oh, ow = hw
     if images.shape[1:3] != (oh, ow):
         # antialias=False: cv2.INTER_LINEAR samples a plain 2-tap kernel
         # on downscale too (the s<1 scale branches minify) — see
-        # ops/resize.py r4 note
+        # ops/resize.py r4 note. Labels take the cv2 INTER_NEAREST index
+        # convention exactly (r5: jax 'nearest' disagrees with cv2 at
+        # most ratios — PARITY knob #5 family).
         images = jax.image.resize(images, (b, oh, ow, images.shape[-1]),
                                   method="bilinear", antialias=False)
-        labels = jax.image.resize(labels, (b, oh, ow), method="nearest")
+        labels = resize_nearest_cv2(labels, (oh, ow))
     return images, labels
+
+
+def scale_then_crop(images, labels, key, *, scale: float,
+                    crop_hw: Tuple[int, int], ignore_label: int):
+    """One exact reference-order branch: resize the whole image by
+    ``scale`` (cv2 size convention: round half away from zero), pad to at
+    least the crop (0 on images — post-normalize, like the reference's
+    copyMakeBorder after mean subtraction — ignore on labels), uniform
+    random crop. Pixel-exact vs the cv2 pipeline
+    (tests/test_augment_modes.py oracle)."""
+    from ..ops.resize import resize_nearest_cv2
+    ch, cw = crop_hw
+    b, h, w = labels.shape
+    hs = int(np.floor(h * scale + 0.5))
+    ws = int(np.floor(w * scale + 0.5))
+    if (hs, ws) != (h, w):
+        images = jax.image.resize(images, (b, hs, ws, images.shape[-1]),
+                                  method="bilinear", antialias=False)
+        labels = resize_nearest_cv2(labels, (hs, ws))
+    pad_h, pad_w = max(ch - hs, 0), max(cw - ws, 0)
+    if pad_h or pad_w:
+        images = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad_h), (0, pad_w)),
+                         constant_values=ignore_label)
+    ic, lc = _batch_crop(images, labels, key, ch, cw)
+    return ic, lc.astype(jnp.int32)
 
 
 def make_augment_fn(*, crop_hw: Tuple[int, int],
@@ -105,6 +136,10 @@ def make_augment_fn(*, crop_hw: Tuple[int, int],
     src_sizes = [(int(round(ch / s)), int(round(cw / s))) for s in sh_list]
 
     def branch_fn(src_h, src_w):
+        """crop-then-resize (default `batch` mode): crop C/s source pixels,
+        resize to C. Same window distribution as the reference, different
+        bilinear association at crop borders (PARITY #5 residual; the
+        reference mode below closes it)."""
         H, W = source_hw
 
         def fn(images, labels, key):
@@ -115,11 +150,25 @@ def make_augment_fn(*, crop_hw: Tuple[int, int],
                 labels = jnp.pad(labels, ((0, 0), (0, pad_h), (0, pad_w)),
                                  constant_values=ignore_label)
             ic, lc = _batch_crop(images, labels, key, src_h, src_w)
-            ic, lc = _resize_pair(ic, lc.astype(jnp.float32), (ch, cw))
+            ic, lc = _resize_pair(ic, lc, (ch, cw))
             return ic, lc.astype(jnp.int32)
         return fn
 
-    branches = [branch_fn(h_, w_) for (h_, w_) in src_sizes]
+    def branch_fn_exact(s):
+        """scale-THEN-crop, the reference's exact resample order
+        [R: dataset/*.py __getitem__]: cv2.resize the WHOLE image to
+        (round(H*s), round(W*s)) (INTER_LINEAR image / INTER_NEAREST
+        label), pad to >= crop, random crop. Every scale in the discrete
+        set gives a STATIC scaled shape, so this stays one XLA program —
+        the 'seven static per-scale resize graphs' closing of PARITY
+        knob #5 (r5). Costs a full-image resize per branch; reference
+        mode runs all branches anyway (per-image scale draw)."""
+        return partial(scale_then_crop, scale=s, crop_hw=(ch, cw),
+                       ignore_label=ignore_label)
+
+    exact = per_image_scale  # reference mode IS the parity mode
+    branches = ([branch_fn_exact(s) for s in sh_list] if exact
+                else [branch_fn(h_, w_) for (h_, w_) in src_sizes])
 
     @jax.jit
     def augment(rng, images, labels):

@@ -57,6 +57,42 @@ class ConvBNAct(nn.Module):
         self.act = _act_module(act, out_ch)
 
     def __call__(self, scope, x):
+        import os
+        conv = self.conv
+        mode = os.environ.get("ESN_TPU_S2D_CONV", "auto")
+        # TRAIN-only by default: the folded stem measured +7.6% on the
+        # contextnet b8 train step but -36% on b128 INFERENCE (1294.6 ->
+        # 824.7 img/s, r5 A/B) — the unfold boundary prices differently
+        # under the inference-mode fusions. "1" forces both modes.
+        engage = (mode == "1"
+                  or (mode not in ("0", "1") and scope.train
+                      and getattr(self, "fold_stem", False)))
+        if (engage and not scope.is_init and conv.groups == 1
+                and conv.in_ch <= 4 and self.bn is not None):
+            # r5 stem fast path: the RGB stem conv runs lane-full
+            # W-folded (ops/s2d.w_fold_stem_conv — stem fwd measured
+            # 5.38 -> 1.74 ms @ 88.8% MXU on fastscnn b8 full-res) and
+            # BN + activation stay IN folded space (folded_apply), so
+            # the one unfold happens after the whole stem unit — the
+            # fold boundary in the middle measured +5.4 ms of backward
+            # add_any relayouts (audit_dx r5).
+            from ..ops import s2d as S
+            from ..ops.folding import unfold_w
+            p2 = lambda v: (v, v) if isinstance(v, int) else tuple(v)
+            kh, kw = conv.kernel
+            if S.s2d_eligible(x.shape, (kh, kw, conv.in_ch, conv.out_ch),
+                              p2(conv.stride), p2(conv.padding),
+                              p2(conv.dilation), conv.groups):
+                w, b = conv.params(scope.child("conv"))
+                y, fo = S.w_fold_stem_conv(
+                    x, w, stride=p2(conv.stride), padding=p2(conv.padding),
+                    bias=b, unfold=False)
+                y = self.bn.folded_apply(scope.child("bn"), y, fo)
+                if self.act is not None:
+                    y = (self.act.folded_apply(scope.child("act"), y, fo)
+                         if hasattr(self.act, "folded_apply")
+                         else scope("act", self.act, y))
+                return unfold_w(y, fo)
         x = scope("conv", self.conv, x)
         if self.bn is not None:
             x = scope("bn", self.bn, x)

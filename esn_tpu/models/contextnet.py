@@ -21,6 +21,11 @@ class ShallowNet(nn.Module):
 
     def __init__(self, in_ch=3):
         self.conv = ConvBNAct(in_ch, 32, 3, stride=2, act="relu")
+        # lane-full W-folded stem (ops/s2d.w_fold_stem_conv): measured
+        # +7.6% on the b8 full-res CE train step (109.7 -> 118.0 img/s,
+        # r5 A/B); the same lowering measured NEGATIVE on fastscnn/
+        # dabnet/espnet_c, so it is a per-model opt-in
+        self.conv.fold_stem = True
         self.ds1 = DSConv(32, 64, stride=2)
         self.ds2 = DSConv(64, 128, stride=2)
         self.ds3 = DSConv(128, 128, stride=1)
@@ -37,6 +42,7 @@ class DeepNet(nn.Module):
 
     def __init__(self, in_ch=3):
         self.conv = ConvBNAct(in_ch, 32, 3, stride=2, act="relu")
+        self.conv.fold_stem = True  # see ShallowNet
         cfg = [  # (expansion, out_ch, repeats, stride)
             (1, 32, 1, 1),
             (6, 32, 1, 1),

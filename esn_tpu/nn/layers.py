@@ -103,6 +103,27 @@ class Conv(Module):
                     dilation=_pair(self.dilation),
                     padding=_pair(self.padding), bias=b)
                 return folding.unfold_w(y, f)
+        if (os.environ.get("ESN_TPU_S2D_CONV", "0") == "1"
+                and not scope.is_init and self.groups == 1):
+            # EXPERIMENTAL generic s2d engagement on any eligible
+            # tiny-channel stride-2 conv (the RGB stem): r5 audit_dx
+            # measured the fastscnn stem at 11.2 ms of the 57 ms b8
+            # full-res train step (fwd 5.4 ms @ 8% HBM + native dW
+            # 5.8 ms @ 13% HBM — the 3-ch lane-padding pathology).
+            from ..ops import s2d as S
+            if S.s2d_eligible(x.shape, w.shape, _pair(self.stride),
+                              _pair(self.padding), _pair(self.dilation),
+                              self.groups):
+                if self.in_ch <= 4:
+                    # true RGB stem: lane-full W-folded lowering (pure
+                    # reshapes, no shuffle). The s2d(2,2) alternative
+                    # measured 148.8 -> 92.2 img/s on fastscnn b8 (12-ch
+                    # folded input lane-pads 10.7x — r5 audit_dx)
+                    return S.w_fold_stem_conv(
+                        x, w, stride=_pair(self.stride),
+                        padding=_pair(self.padding), bias=b)
+                return S.s2d_conv2d(x, w, stride=_pair(self.stride),
+                                    padding=_pair(self.padding), bias=b)
         if (1 < self.groups < self.in_ch
                 and os.environ.get("ESN_TPU_DENSE_GROUPED", "1") != "0"):
             # Grouped (non-depthwise) convs lower to per-group matmuls whose

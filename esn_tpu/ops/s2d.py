@@ -196,6 +196,129 @@ def s2d_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
                               custom_grad=custom_grad)
 
 
+import functools
+
+import jax
+from jax import lax
+
+
+def w_fold_stem_conv(x, kernel, *, stride, padding, bias=None,
+                     lanes: int = 128, custom_grad: bool = True,
+                     unfold: bool = True):
+    """Stride-s RGB-stem conv as a LANE-FULL W-folded conv (r5).
+
+    The r5 audit measured the 3-channel stem at 26% of the fastscnn b8
+    train step (fwd 5.4 ms @ 8% HBM + native dW 5.8 ms @ 13% + 3.6 ms
+    input relayout) and the s2d(2,2) rewrite REGRESSED: its 12-channel
+    folded input takes a c-minor layout padded 12->128 lanes (10.7x
+    physical traffic, read from the compiled HLO). The fix that feeds
+    full lanes with ZERO shuffle cost is W-axis folding: ``fold_w`` is a
+    pure reshape (W and C are adjacent in NHWC), so
+      x (B,H,W,3) --reshape--> (B,H,W/64,192)   [192 >= 128 lanes]
+      conv via general_folded_kernel (stride (2,1), Uh x 2 taps,
+           out (B,H/2,W/64, 32*Co) — 1024 output channels, pad-free)
+      --reshape--> (B,H/2,W/2,Co).
+    Exact rewrite (general_folded_kernel derivation); both reshapes are
+    layout-free. fwi is the largest power-of-2 multiple of s_w dividing W
+    with fwi*C >= lanes.
+    """
+    from .folding import unfold_w
+    sh, sw = stride
+    b, h, w, c = x.shape
+    fwi = sw
+    while fwi * c < lanes and w % (fwi * 2) == 0:
+        fwi *= 2
+    fo = fwi // sw
+    xs = space_to_depth(x, 1, fwi)
+    y = general_folded_conv(xs, kernel, stride=stride, padding=padding,
+                            in_fold=(1, fwi), out_fold_w=fo, bias=bias,
+                            custom_grad=custom_grad)
+    if not unfold:
+        return y, fo  # caller runs BN/act folded and unfolds once
+    return unfold_w(y, fo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def s2d_stem_conv(x, kernel, stride, padding):
+    """Stride-s RGB-STEM conv via space-to-depth, with a stem-specific VJP.
+
+    Forward: ``conv2d(x, kernel, stride, padding)`` computed as a stride-1
+    conv over the s2d-folded input (exact rewrite; see s2d_kernel).
+
+    Backward (r5, from the audit_dx measurement): the naive composition
+    (s2d + folded conv under the generic custom conv VJP) REGRESSED the
+    fastscnn b8 full-res train step 148.8 -> 92.2 img/s even though the
+    convs themselves got faster — the backward spent ~20 ms in the
+    relayout's transpose chain and in materializing an input cotangent
+    nobody consumes. This VJP:
+
+      - returns a ZERO input cotangent (the stem input is the image;
+        training differentiates wrt params only). ONLY valid at the true
+        network input — the Conv hook gates on in_ch <= 4.
+      - computes dW as stride-1 taps einsums over the folded input
+        (12-channel lanes, the same formulation the custom conv VJP uses
+        for dense kernels) and GATHERS the folded-kernel gradient back to
+        the original (kh, kw, I, O) taps — each original weight appears
+        exactly once in the folded kernel, so the inverse is a static
+        slice, not a scatter chain.
+    """
+    xs = space_to_depth(x, *stride)
+    kf, pads = s2d_kernel(kernel, stride, padding)
+    return _conv_raw(xs, kf, (1, 1), pads, (1, 1), 1)
+
+
+def _s2d_stem_fwd(x, kernel, stride, padding):
+    xs = space_to_depth(x, *stride)
+    kf, pads = s2d_kernel(kernel, stride, padding)
+    y = _conv_raw(xs, kf, (1, 1), pads, (1, 1), 1)
+    # x and kernel ride the residuals for their STATIC metadata only
+    # (shape/dtype for the zero cotangent and the dW cast) — zeros_like/
+    # astype read no data, so XLA DCEs the actual dependency
+    return y, (xs, x, kernel)
+
+
+def _s2d_stem_bwd(stride, padding, res, gy):
+    import jax.numpy as jnp
+    xs, x, kernel = res
+    kh, kw, ci, co = kernel.shape
+    sh, sw = stride
+    ph, pw = padding
+    taps_h, tmin_h, _ = _axis_taps(kh, sh, ph)
+    taps_w, tmin_w, _ = _axis_taps(kw, sw, pw)
+    (lo_h, hi_h), (lo_w, hi_w) = ((-tmin_h, max(t for t, _ in taps_h)),
+                                  (-tmin_w, max(t for t, _ in taps_w)))
+    n, ho, wo = gy.shape[:3]
+    cf = xs.shape[-1]
+    xp = jnp.pad(xs, ((0, 0), (lo_h, hi_h + max(ho - xs.shape[1] - hi_h, 0)),
+                      (lo_w, hi_w + max(wo - xs.shape[2] - hi_w, 0)),
+                      (0, 0)))
+    # dkf[u, v] = sum_nhw xp[n, h+u, w+v, :] gy[n, h, w, :]
+    uh = lo_h + hi_h + 1
+    uw = lo_w + hi_w + 1
+    taps = {}
+    for u in range(uh):
+        for v in range(uw):
+            taps[(u, v)] = jnp.einsum(
+                "nhwc,nhwd->cd",
+                lax.slice(xp, (0, u, v, 0), (n, u + ho, v + wo, cf)), gy,
+                preferred_element_type=jnp.float32)
+    # gather folded grads back to original tap positions (exact inverse
+    # of s2d_kernel's placement)
+    rows = []
+    for dh, (th, gh) in enumerate(taps_h):
+        cols = []
+        for dw_, (tw, gw) in enumerate(taps_w):
+            blk = (gh * sw + gw) * ci
+            cols.append(taps[(th - tmin_h, tw - tmin_w)][blk:blk + ci, :])
+        rows.append(jnp.stack(cols))
+    dw = jnp.stack(rows).astype(kernel.dtype)
+    dx = jnp.zeros_like(x)  # stem contract: image grad unused
+    return dx, dw
+
+
+s2d_stem_conv.defvjp(_s2d_stem_fwd, _s2d_stem_bwd)
+
+
 def s2d_eligible(x_shape, kernel_shape, stride, padding, dilation,
                  groups: int, *, max_in_ch: int = 8) -> bool:
     """Engage the lowering only where it wins: tiny-channel (stem) inputs,

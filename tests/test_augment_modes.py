@@ -86,3 +86,70 @@ def test_reference_mode_labels_follow_their_image():
     x, y = aug(jax.random.PRNGKey(3), images, labels)
     err = np.abs(np.asarray(x[..., 0]) - np.asarray(y))
     assert err.max() <= 2.0  # nearest label vs bilinear image: <= one source px
+
+
+# ---- PARITY knob #5: exact scale-then-crop vs the cv2 oracle (r5) ----
+
+@pytest.mark.parametrize("scale", REFERENCE_SCALES)
+def test_scale_then_crop_matches_cv2_oracle(scale):
+    """reference mode resamples in the reference's exact order: cv2.resize
+    the whole image (INTER_LINEAR image / INTER_NEAREST label), pad, crop.
+    Labels must be pixel-exact; images within bilinear fp tolerance."""
+    cv2 = pytest.importorskip("cv2")
+    from esn_tpu.data.augment import scale_then_crop
+
+    rng = np.random.RandomState(int(scale * 100))
+    H, W = 64, 80
+    ch, cw = 48, 56  # > scaled size at s=0.5: exercises the pad path too
+    img = rng.randint(0, 255, (H, W, 3)).astype(np.float32) - 127.0
+    lab = rng.randint(0, 11, (H, W)).astype(np.int32)
+
+    hs = int(np.floor(H * scale + 0.5))
+    ws = int(np.floor(W * scale + 0.5))
+    oi = cv2.resize(img, (ws, hs), interpolation=cv2.INTER_LINEAR) \
+        if (hs, ws) != (H, W) else img
+    ol = cv2.resize(lab.astype(np.uint8), (ws, hs),
+                    interpolation=cv2.INTER_NEAREST).astype(np.int32) \
+        if (hs, ws) != (H, W) else lab
+    ph, pw = max(ch - hs, 0), max(cw - ws, 0)
+    oi = np.pad(oi, ((0, ph), (0, pw), (0, 0)))
+    ol = np.pad(ol, ((0, ph), (0, pw)), constant_values=11)
+
+    # fixed key -> recover the drawn offsets by matching the label crop
+    x, y = scale_then_crop(jnp.asarray(img[None]), jnp.asarray(lab[None]),
+                           jax.random.PRNGKey(7), scale=scale,
+                           crop_hw=(ch, cw), ignore_label=11)
+    x, y = np.asarray(x[0]), np.asarray(y[0])
+    found = False
+    for y0 in range(oi.shape[0] - ch + 1):
+        for x0 in range(oi.shape[1] - cw + 1):
+            if np.array_equal(ol[y0:y0 + ch, x0:x0 + cw], y):
+                # atol: cv2 and jax order the bilinear coefficient
+                # products differently — measured fp noise is <=1.8e-3 on
+                # magnitude-127 data (relative ~1.4e-5); a wrong-pixel
+                # association would show ~1e2. Labels above are EXACT.
+                np.testing.assert_allclose(
+                    oi[y0:y0 + ch, x0:x0 + cw], x, atol=5e-3,
+                    err_msg=f"image crop at ({y0},{x0}) diverges from the "
+                            f"cv2 scale-then-crop oracle at scale {scale}")
+                found = True
+                break
+        if found:
+            break
+    assert found, (f"no crop window of the cv2 oracle matches the label "
+                   f"output at scale {scale} - resample order or nearest "
+                   f"convention diverged")
+
+
+def test_resize_nearest_cv2_matches_cv2_exhaustive():
+    cv2 = pytest.importorskip("cv2")
+    from esn_tpu.ops.resize import resize_nearest_cv2
+    rng = np.random.RandomState(0)
+    for (h, w, oh, ow) in [(8, 10, 4, 5), (8, 10, 16, 20), (6, 9, 9, 12),
+                           (96, 120, 48, 60), (96, 120, 168, 210),
+                           (33, 47, 20, 30), (33, 47, 66, 94)]:
+        lab = rng.randint(0, 200, (h, w)).astype(np.uint8)
+        ref = cv2.resize(lab, (ow, oh), interpolation=cv2.INTER_NEAREST)
+        got = np.asarray(resize_nearest_cv2(jnp.asarray(lab.astype(np.int32)),
+                                            (oh, ow)))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{(h, w, oh, ow)}")

@@ -165,3 +165,119 @@ def test_general_folded_conv_grad():
     gp = jax.grad(f_plain)(w)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,p,cin,cout,w", [
+    (3, 1, 3, 16, 128), (3, 1, 3, 16, 64), (2, 0, 3, 13, 128),
+])
+def test_w_fold_stem_conv_matches_plain(k, p, cin, cout, w, rng):
+    """r5 lane-full W-folded stem (pure-reshape fold/unfold): exact fwd,
+    dW and dX parity with the plain strided conv."""
+    x = jnp.asarray(rng.randn(2, 16, w, cin), jnp.float32)
+    wt = jnp.asarray(rng.randn(k, k, cin, cout), jnp.float32)
+    b = jnp.asarray(rng.randn(cout), jnp.float32)
+    ref = C.conv2d(x, wt, stride=2, padding=p, bias=b)
+    got = jax.jit(lambda x_, w_: S.w_fold_stem_conv(
+        x_, w_, stride=(2, 2), padding=(p, p), bias=b))(x, wt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)
+    gy = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
+    gr_w, gr_x = jax.grad(
+        lambda w_, x_: jnp.vdot(C.conv2d(x_, w_, stride=2, padding=p), gy),
+        argnums=(0, 1))(wt, x)
+    gn_w, gn_x = jax.jit(jax.grad(
+        lambda w_, x_: jnp.vdot(S.w_fold_stem_conv(
+            x_, w_, stride=(2, 2), padding=(p, p)), gy),
+        argnums=(0, 1)))(wt, x)
+    np.testing.assert_allclose(np.asarray(gn_w), np.asarray(gr_w),
+                               atol=3e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gn_x), np.asarray(gr_x),
+                               atol=3e-3, rtol=1e-4)
+
+
+def test_contextnet_folded_stem_model_parity(monkeypatch):
+    """ContextNet opts into the folded stem by default (fold_stem attr);
+    the whole-model forward + weight grads must match the plain lowering."""
+    from esn_tpu import nn
+    from esn_tpu.models import build_model
+    from esn_tpu.train.losses import cross_entropy
+
+    model = build_model("contextnet", 11)
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(2, 64, 128, 3), jnp.float32)
+    y = jnp.asarray(r.randint(0, 11, (2, 64, 128)), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(variables, flag):
+        monkeypatch.setenv("ESN_TPU_S2D_CONV", flag)
+        logits, _ = nn.apply(model, variables, x, train=True, mutable=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+        return cross_entropy(logits.astype(jnp.float32), y, num_classes=11)
+
+    def run(flag):
+        monkeypatch.setenv("ESN_TPU_S2D_CONV", flag)
+        f = lambda params: loss({"params": params, "stats": v["stats"]}, flag)
+        return jax.value_and_grad(f)(v["params"])
+
+    l_off, g_off = run("0")
+    l_on, g_on = run("auto")
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+    # Whole-model backward reorders every downstream fusion, so the
+    # cotangent reaching the stem carries f32 reduction-order noise that
+    # cancellation in the dW sums amplifies (measured: 12/864 stem-kernel
+    # elements off by up to 4e-2 abs while the unit-level test holds
+    # 2e-4). A structural bug (wrong tap, wrong slot) would corrupt the
+    # whole leaf, so compare per-leaf L2: tight against real errors,
+    # immune to elementwise cancellation outliers. Tight parity lives in
+    # test_w_fold_stem_conv_matches_plain and
+    # test_convbnact_folded_stem_unit_parity.
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    flat_on = jax.tree_util.tree_leaves(g_on)
+    gscale = float(np.sqrt(sum(float(np.vdot(np.asarray(t, np.float64),
+                                             np.asarray(t, np.float64)))
+                               for t in flat_off)))
+    for a, b_ in zip(flat_on, flat_off):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        # floor the denominator at 1e-4 of the global grad norm:
+        # numerically-zero leaves (measured |g| ~ 1e-7 on projection-BN
+        # biases feeding residual adds) carry no signal and their
+        # relative error is rounding residue
+        err = np.linalg.norm(a - b_) / max(np.linalg.norm(b_),
+                                           1e-4 * gscale)
+        assert err < 2e-2, (a.shape, err)
+
+
+def test_convbnact_folded_stem_unit_parity(monkeypatch):
+    """The ConvBNAct stem unit (conv+BN+relu, train mode with batch
+    stats) must match the plain path tightly at unit granularity."""
+    from esn_tpu import nn
+    from esn_tpu.models.blocks import ConvBNAct
+
+    m = ConvBNAct(3, 32, 3, stride=2, act="relu")
+    m.fold_stem = True
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.randn(2, 32, 128, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    gy = jnp.asarray(r.randn(2, 16, 64, 32), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("ESN_TPU_S2D_CONV", flag)
+
+        def f(params):
+            y, newv = nn.apply(m, {"params": params, "stats": v["stats"]},
+                               x, train=True, mutable=True)
+            return jnp.vdot(y, gy), newv["stats"]
+        (l, stats), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+        return l, stats, g
+
+    l0, s0, g0 = run("0")
+    l1, s1, g1 = run("1")
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
