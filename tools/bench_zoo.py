@@ -76,13 +76,19 @@ def main():
                                   jnp.bfloat16)
             try:
                 dt = slope_time(model, variables, x)
-                result = (batch, batch / dt)
+                from tools.fingerprint import graph_fingerprint
+                fp = graph_fingerprint(jax.jit(
+                    lambda v, xx: nn.apply(model, v, xx,
+                                           method="predict")).lower(
+                    variables, x))
+                result = (batch, batch / dt, fp)
                 break
             except Exception as e:  # noqa: BLE001 (OOM and relay faults)
                 print(f"  {name} b{batch} failed: "
                       f"{str(e).splitlines()[0][:80]}", flush=True)
         rows.append({"model": name, "batch": result[0] if result else None,
-                     "img_per_s": round(result[1], 1) if result else None})
+                     "img_per_s": round(result[1], 1) if result else None,
+                     "graph_fp": result[2] if result else None})
         print(f"{name:12s} "
               + (f"b{result[0]:2d}  {result[1]:7.1f} img/s" if result
                  else "FAILED"), flush=True)

@@ -46,17 +46,16 @@ def make_runner(model, variables, *, loss="ce", classes=19, remat=False,
         @jax.jit
         def run(st, batch, rng):
             def body(carry, i):
-                s, _ = carry
                 b = {"image": batch["image"] * (1.0 + 1e-12 * i),
                      "label": batch["label"]}
-                s, m = step(s, b, jax.random.fold_in(rng, i))
+                s, m = step(carry[0], b, jax.random.fold_in(rng, i))
                 return (s, m["loss"]), None
             (s, last), _ = lax.scan(body, (st, jnp.float32(0)),
                                     jnp.arange(iters))
             return s.step, last
         return run
 
-    return state, mk
+    return state, mk, step
 
 
 def slope_time(state, mk, batch, rng, lo=2, hi=6):
@@ -106,12 +105,18 @@ def main():
                 # cgnet/dabnet b8, both fine in r3)
                 for attempt in (0, 1):
                     try:
-                        state, mk = make_runner(model, variables,
-                                                loss=args.loss,
-                                                classes=args.classes,
-                                                remat=remat)
+                        state, mk, step = make_runner(model, variables,
+                                                      loss=args.loss,
+                                                      classes=args.classes,
+                                                      remat=remat)
                         dt = slope_time(state, mk, b, jax.random.PRNGKey(2))
-                        result = (batch, batch / dt, remat)
+                        # graph identity for this row (tools/fingerprint):
+                        # lets the next round distinguish "compile ceiling
+                        # moved" from "the repo changed the graph"
+                        from tools.fingerprint import graph_fingerprint
+                        fp = graph_fingerprint(jax.jit(step).lower(
+                            state, b, jax.random.PRNGKey(2)))
+                        result = (batch, batch / dt, remat, fp)
                         break
                     except Exception as e:  # noqa: BLE001 (OOM, relay)
                         print(f"  {name} b{batch} remat={remat} "
@@ -124,7 +129,8 @@ def main():
         rows.append({"model": name,
                      "batch": result[0] if result else None,
                      "img_per_s": round(result[1], 1) if result else None,
-                     "remat": result[2] if result else None})
+                     "remat": result[2] if result else None,
+                     "graph_fp": result[3] if result else None})
         print(f"{name:12s} "
               + (f"b{result[0]:2d}{' remat' if result[2] else '':6s}"
                  f" {result[1]:7.1f} img/s" if result else "FAILED"),
