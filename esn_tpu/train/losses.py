@@ -125,6 +125,18 @@ def resize_cross_entropy(z, labels, *, num_classes: int,
                              ignore_index=ignore_index,
                              label_smoothing=label_smoothing)
     s = Hl // h
+    if (os.environ.get("ESN_TPU_FUSED_CE", "0") == "2" and h % 8 == 0
+            and jax.devices()[0].platform not in ("cpu",)):
+        # VMEM-resident Pallas kernel (ops/pallas/resize_ce.py): the
+        # r5 audit measured the materialized tail at ~9 ms of the 57 ms
+        # b8 fastscnn step; the isolated val+grad A/B measured
+        # 7.57 ms (kernel) vs 14.97 ms (materialized) at (8,128,256,19)
+        # x8. Same scalar (CPU-oracle parity <=4e-6 relL2).
+        from ..ops.pallas.resize_ce import resize_ce_sums
+        S, N = resize_ce_sums(z.astype(jnp.float32), labels, class_weights,
+                              r=s, ignore_index=ignore_index,
+                              label_smoothing=label_smoothing)
+        return S / jnp.maximum(N, 1e-8)
     kw = min(3, h)
     phases = []
     for p in range(s):
@@ -467,7 +479,7 @@ def fused_resize_ce_spec(model, loss_name: str):
     if (loss_name in ("ce", "label_smoothing")
             and getattr(model, "LOGITS_TAIL", "conv") == "resize"
             and hasattr(model, "logits_lowres")
-            and os.environ.get("ESN_TPU_FUSED_CE", "0") == "1"):
+            and os.environ.get("ESN_TPU_FUSED_CE", "0") in ("1", "2")):
         smooth = 0.1 if loss_name == "label_smoothing" else 0.0
         return partial(resize_cross_entropy, label_smoothing=smooth), \
             "logits_lowres"

@@ -85,6 +85,14 @@ SLOW_TESTS = {
     "test_resize_argmax_matches_f32_oracle[8]",          # 14 s (factors 2/3/4 stay quick)
     "test_lovasz_hist_matches_sort",                     # 8 s (perfect-prediction test is the quick smoke)
     "test_resize_ce_matches_materialized[8-hw1]",        # s=8 variant; s=4 stays quick
+    # r5 rebalance: the new whole-model folded-stem parity runs (60-150 s
+    # each) move to slow; op/unit-level w_fold parity stays quick
+    "test_contextnet_folded_stem_model_parity",          # 66 s
+    "test_convbnact_folded_stem_unit_parity",            # 30 s
+    "test_trainer_compile_ceiling_fallback",             # 40 s
+    "test_trainer_fallback_reraises_unrelated_errors",   # 15 s
+    "test_scale_then_crop_matches_cv2_oracle[0.5]",      # pad-path variant
+    # (other scales ~5 s each stay quick: they are the PARITY #5 oracle)
 }
 QUICK_OVERRIDES = set()   # test_enet_jit_forward grew to 25 s — now slow
 

@@ -41,7 +41,7 @@ HBM_GB_S = 819.0   # v5e HBM roof (BOUNDS.md)
 MXU_TFLOPS = 197.0  # v5e bf16
 
 
-def capture(step_fn, args_list, trace_dir, iters=3):
+def capture(step_fn, args_list, trace_dir, iters=2):
     out = step_fn(*args_list)  # compile + warm
     jax.block_until_ready(out)
     with jax.profiler.trace(trace_dir):
@@ -186,6 +186,7 @@ def main():
     ap.add_argument("--loss", default="ce")
     ap.add_argument("--mode", default="train", choices=["train", "infer"])
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     H, W = (int(v) for v in args.size.split(","))
@@ -213,12 +214,14 @@ def main():
         batch = {"image": x, "label": y}
         key = jax.random.PRNGKey(3)
         trace, iters = capture(lambda: step(state, batch, key), [],
-                               f"/tmp/audit_{args.model}_train")
+                               f"/tmp/audit_{args.model}_train",
+                               iters=args.iters)
     else:
         @jax.jit
         def fwd():
             return nn.apply(model, v, x, train=False, method="predict")
-        trace, iters = capture(fwd, [], f"/tmp/audit_{args.model}_infer")
+        trace, iters = capture(fwd, [], f"/tmp/audit_{args.model}_infer",
+                               iters=args.iters)
 
     kernel_shapes = {tuple(p.shape)
                      for p in jax.tree_util.tree_leaves(v)
